@@ -1,0 +1,191 @@
+"""Plant / physical model layer.
+
+TPU-native rebuild of the reference's ``gp_mpc/model_class.py::Model``
+[SURVEY C2]: wraps a continuous-time ODE into integrators, linearization,
+closed-loop simulation, and training-data generation.
+
+Where the reference calls CasADi's CVODES integrator (adaptive-step, C) per
+sample in a Python loop [SURVEY §3.1], here integration is fixed-step RK4
+with configurable substeps under ``lax.scan`` — deterministic, differentiable
+end-to-end, and the whole N-sample data-generation sweep is one vmapped
+compiled program instead of N Python->C round-trips.
+
+The ODE is any pure-JAX callable ``ode(x, u) -> dx/dt``.  Algebraic (DAE)
+systems — the reference's ``alg`` option [SURVEY C2, confidence M] — are not
+supported; pass an explicit ODE (stiff/DAE support is gated with a clear
+error rather than silently misintegrating).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Model:
+    """Continuous-time plant wrapped into discrete-time maps.
+
+    Parity surface (``gp_mpc/model_class.py`` [SURVEY C2]):
+    ``integrate``, ``sim``, ``linearize``, ``discrete_linearize``, ``rk4``,
+    ``generate_training_data``, ``get_size``.
+    """
+
+    def __init__(self,
+                 Nx: int,
+                 Nu: int,
+                 ode: Callable,
+                 dt: float,
+                 R: Optional[jnp.ndarray] = None,
+                 alg: Optional[Callable] = None,
+                 clip_negative: bool = False,
+                 integrator_substeps: int = 20,
+                 dtype=jnp.float32):
+        if alg is not None:
+            raise NotImplementedError(
+                "DAE systems (alg=...) are not supported; supply an explicit "
+                "ODE. (Reference: casadi/CVODES DAE path, SURVEY C2.)")
+        self.Nx = int(Nx)
+        self.Nu = int(Nu)
+        self.ode = ode
+        self.dt = float(dt)
+        self.dtype = dtype
+        self.R = (jnp.zeros((Nx, Nx), dtype) if R is None
+                  else jnp.asarray(R, dtype))
+        self.clip_negative = bool(clip_negative)
+        self.integrator_substeps = int(integrator_substeps)
+
+        self._integrate_jit = jax.jit(self.integrate)
+        self._rk4_jit = jax.jit(self.rk4)
+
+    # ------------------------------------------------------------ core maps
+
+    def _rk4_step(self, x: jnp.ndarray, u: jnp.ndarray,
+                  h: float) -> jnp.ndarray:
+        k1 = self.ode(x, u)
+        k2 = self.ode(x + 0.5 * h * k1, u)
+        k3 = self.ode(x + 0.5 * h * k2, u)
+        k4 = self.ode(x + h * k3, u)
+        return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def rk4(self, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """One RK4 step over dt — the cheap discrete map embedded in the NLP
+        (``discrete_method='rk4'``).  Parity: ``Model.rk4`` [SURVEY C2]."""
+        return self._rk4_step(x, u, self.dt)
+
+    def integrate(self, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """High-accuracy one-step integration over dt (plant truth /
+        ``discrete_method='exact'``).  Replaces the reference's CVODES call
+        (``Model.integrate`` [SURVEY C2]) with ``integrator_substeps``
+        RK4 substeps under ``lax.scan``."""
+        h = self.dt / self.integrator_substeps
+
+        def body(xc, _):
+            return self._rk4_step(xc, u, h), None
+
+        xf, _ = jax.lax.scan(body, x, None, length=self.integrator_substeps)
+        return xf
+
+    # ------------------------------------------------------------ simulate
+
+    def sim(self, x0: jnp.ndarray, u_seq: jnp.ndarray,
+            noise: bool = False,
+            key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Multi-step rollout under a control sequence; optional additive
+        process noise ~ N(0, R) per step.  Parity: ``Model.sim`` [SURVEY C2].
+        Returns the state trajectory (T+1, Nx) including x0."""
+        T = u_seq.shape[0]
+        chol_r = jnp.linalg.cholesky(
+            self.R + 1e-32 * jnp.eye(self.Nx, dtype=self.dtype))
+        if noise:
+            if key is None:
+                raise ValueError("sim(noise=True) requires a PRNG key")
+            eps = jax.random.normal(key, (T, self.Nx), dtype=self.dtype)
+            w = eps @ chol_r.T
+        else:
+            w = jnp.zeros((T, self.Nx), dtype=self.dtype)
+
+        def step(x, inp):
+            u, wk = inp
+            xn = self.integrate(x, u) + wk
+            if self.clip_negative:
+                xn = jnp.maximum(xn, 0.0)
+            return xn, xn
+
+        _, xs = jax.lax.scan(step, jnp.asarray(x0, self.dtype), (u_seq, w))
+        return jnp.concatenate([jnp.asarray(x0, self.dtype)[None], xs], axis=0)
+
+    # ------------------------------------------------------------ linearize
+
+    def linearize(self, x: jnp.ndarray, u: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Continuous-time Jacobians A = df/dx, B = df/du at (x, u).
+        Parity: ``Model.linearize`` [SURVEY C2] — ``jax.jacfwd`` replaces
+        CasADi symbolic jacobians."""
+        a = jax.jacfwd(lambda xx: self.ode(xx, u))(x)
+        b = jax.jacfwd(lambda uu: self.ode(x, uu))(u)
+        return a, b
+
+    def discrete_linearize(self, x: jnp.ndarray, u: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Discrete-time Jacobians of the one-step RK4 map.
+        Parity: ``Model.discrete_linearize`` [SURVEY C2]."""
+        a = jax.jacfwd(lambda xx: self.rk4(xx, u))(x)
+        b = jax.jacfwd(lambda uu: self.rk4(x, uu))(u)
+        return a, b
+
+    # ------------------------------------------------------ training data
+
+    def generate_training_data(self, N: int,
+                               uub, ulb, xub, xlb,
+                               noise: bool = True,
+                               key: Optional[jax.Array] = None
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sample (x, u) uniformly in box bounds, integrate one step, add
+        measurement noise ~ N(0, R).  Returns X (N, Nx+Nu), Y (N, Nx).
+        Parity: ``Model.generate_training_data`` [SURVEY C2, §3.1] — the
+        N-sample loop is a single vmapped program."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kx, ku, kn = jax.random.split(key, 3)
+        xlb = jnp.asarray(xlb, self.dtype)
+        xub = jnp.asarray(xub, self.dtype)
+        ulb = jnp.asarray(ulb, self.dtype)
+        uub = jnp.asarray(uub, self.dtype)
+        x0 = jax.random.uniform(kx, (N, self.Nx), dtype=self.dtype,
+                                minval=xlb, maxval=xub)
+        u0 = jax.random.uniform(ku, (N, self.Nu), dtype=self.dtype,
+                                minval=ulb, maxval=uub)
+        xn = jax.vmap(self.integrate)(x0, u0)
+        if noise:
+            chol_r = jnp.linalg.cholesky(
+                self.R + 1e-32 * jnp.eye(self.Nx, dtype=self.dtype))
+            xn = xn + jax.random.normal(kn, (N, self.Nx),
+                                        dtype=self.dtype) @ chol_r.T
+        if self.clip_negative:
+            # keep sampled states physical (tank levels) [SURVEY C2 M]
+            xn = jnp.maximum(xn, 0.0)
+        return jnp.concatenate([x0, u0], axis=1), xn
+
+    # ------------------------------------------------------------ misc
+
+    def get_size(self) -> Tuple[int, int]:
+        """(Nx, Nu).  Parity: ``Model.get_size`` [SURVEY C2]."""
+        return self.Nx, self.Nu
+
+    def predict_compare(self, x0, u_seq, predictor,
+                        key: Optional[jax.Array] = None):
+        """Rollout of the true plant vs. a one-step predictor (e.g. a trained
+        GP's mean), for validation plots.  Parity: ``Model.predict_compare``
+        [SURVEY C2, confidence M].  Returns (x_true (T+1,Nx), x_pred (T+1,Nx))."""
+        x_true = self.sim(x0, u_seq, noise=key is not None, key=key)
+
+        def step(x, u):
+            xn = predictor(x, u)
+            return xn, xn
+
+        _, xp = jax.lax.scan(step, jnp.asarray(x0, self.dtype), u_seq)
+        x_pred = jnp.concatenate([jnp.asarray(x0, self.dtype)[None], xp], 0)
+        return x_true, x_pred

@@ -1,0 +1,234 @@
+"""Stateful GP model wrapper.
+
+TPU-native rebuild of ``gp_mpc/gp_class.py::GP`` [SURVEY C5]: stores training
+data, z-score normalizes inputs/outputs, trains hyperparameters (multistart
+L-BFGS on the Cholesky NLL — the functional core in
+:mod:`gpmpc_tpu.models.gp_core`), precomputes per-dim factorizations, selects
+the uncertainty-propagation scheme (``set_method('ME'|'TA'|'EM')``), predicts,
+validates (SMSE / MNLP), and persists to ``.npz``.
+
+Like the reference, the data set is fixed after construction; online
+conditioning for the batched study lives in :mod:`gpmpc_tpu.parallel`
+(rank-1 Cholesky updates) rather than here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.models import gp_core
+from gpmpc_tpu.models.propagate import Normalization, get_propagator
+from gpmpc_tpu.models.mean_functions import num_mean_params
+from gpmpc_tpu.utils.config import GPConfig
+
+
+class GP:
+    """Multi-output GP regressor: one independent SE-ARD GP per output dim.
+
+    Parity surface (``gp_mpc/gp_class.py`` [SURVEY C5]): ``train``,
+    ``predict``, ``set_method``, ``validate``, ``save_model``/``load_model``,
+    ``print_hyper_parameters``, ``get_size``.
+    """
+
+    def __init__(self,
+                 X,
+                 Y,
+                 mean_func: str = "zero",
+                 gp_method: str = "TA",
+                 hyper: Optional[gp_core.GPHypers] = None,
+                 normalize: bool = True,
+                 multistart: int = 2,
+                 max_iters: int = 250,
+                 optimizer_opts: Optional[dict] = None,
+                 train: bool = True,
+                 seed: int = 0,
+                 dtype=None):
+        X = jnp.asarray(X, dtype)
+        Y = jnp.asarray(Y, dtype)
+        if X.ndim != 2 or Y.ndim != 2 or X.shape[0] != Y.shape[0]:
+            raise ValueError("X must be (N, D) and Y (N, Ny) with equal N")
+        self.X_raw = X
+        self.Y_raw = Y
+        self.N, self.D = X.shape
+        self.Ny = Y.shape[1]
+        opts = dict(optimizer_opts or {})
+        self.cfg = GPConfig(mean_func=mean_func, multistart=multistart,
+                            max_iters=max_iters, normalize=normalize, **opts)
+        self.gp_method = gp_method.upper()
+        self._key = jax.random.PRNGKey(seed)
+
+        if normalize:
+            z_std = jnp.std(X, axis=0)
+            y_std = jnp.std(Y, axis=0)
+            self.norm = Normalization(
+                z_mean=jnp.mean(X, axis=0),
+                z_std=jnp.where(z_std > 1e-12, z_std, 1.0),
+                y_mean=jnp.mean(Y, axis=0),
+                y_std=jnp.where(y_std > 1e-12, y_std, 1.0))
+        else:
+            self.norm = Normalization.identity(self.D, self.Ny, X.dtype)
+
+        self.Xn = (X - self.norm.z_mean) / self.norm.z_std
+        self.Yn = (Y - self.norm.y_mean) / self.norm.y_std
+
+        self.hyper: Optional[gp_core.GPHypers] = hyper
+        self.nll: Optional[jnp.ndarray] = None
+        self.post: Optional[gp_core.GPPosterior] = None
+        if hyper is not None:
+            self._build_posterior()
+        elif train:
+            self.train()
+        self.set_method(self.gp_method)
+
+    # ------------------------------------------------------------ training
+
+    def train(self, key: Optional[jax.Array] = None) -> None:
+        """Multistart L-BFGS hyperparameter training [SURVEY C4/C5]."""
+        if key is None:
+            key = self._key
+        self.hyper, self.nll = gp_core.fit(self.Xn, self.Yn, self.cfg, key)
+        self._build_posterior()
+
+    def _build_posterior(self) -> None:
+        self.post = gp_core.posterior(self.Xn, self.Yn, self.hyper, self.cfg)
+
+    # ------------------------------------------------------------ predict
+
+    def set_method(self, gp_method: str):
+        """Select the propagation scheme and build the one-step moment map
+        ``(mu_z, Sigma_z) -> (mu_y, Sigma_y, C)`` [SURVEY C5 set_method]."""
+        self.gp_method = gp_method.upper()
+        if self.gp_method == "EM" and self.cfg.mean_func != "zero":
+            raise ValueError(
+                "exact moment matching (EM) requires mean_func='zero' "
+                "(PILCO closed forms assume a zero prior mean)")
+        prop = get_propagator(self.gp_method)
+        post, norm, cfg = self.post, self.norm, self.cfg
+
+        def moment_map(mu_z, cov_z):
+            return prop(post, norm, cfg, mu_z, cov_z)
+
+        self._moment_map = jax.jit(moment_map)
+        return self._moment_map
+
+    def predict(self, x, u=None, cov=None,
+                gp_method: Optional[str] = None):
+        """One-step prediction.  ``x`` (+ optional ``u``) forms the GP input
+        z; with ``cov`` given, propagates input uncertainty by the selected
+        scheme and returns ``(mean (Ny,), cov (Ny,Ny))``; without, returns
+        the deterministic-input ``(mean (Ny,), var (Ny,))``.
+        Parity: ``GP.predict(x, u, cov)`` [SURVEY C5]."""
+        z = jnp.asarray(x)
+        if u is not None:
+            z = jnp.concatenate([z, jnp.asarray(u)])
+        if gp_method is not None and gp_method.upper() != self.gp_method:
+            self.set_method(gp_method)
+        if cov is None:
+            d = z.shape[0]
+            mu, sig, _ = self._moment_map(z, jnp.zeros((d, d), z.dtype))
+            return mu, jnp.diagonal(sig)
+        mu, sig, _ = self._moment_map(z, jnp.asarray(cov))
+        return mu, sig
+
+    def moment_map(self):
+        """The jitted ``(mu_z, Sigma_z) -> (mu_y, Sigma_y, C)`` map — what the
+        MPC embeds in its rollout (the analog of the reference's CasADi
+        Function built by set_method [SURVEY C5])."""
+        return self._moment_map
+
+    def mean_fn(self):
+        """Raw-space predictive mean ``z -> (Ny,)`` for embedding as
+        deterministic dynamics and for linearization."""
+        post, norm, cfg = self.post, self.norm, self.cfg
+
+        def f(z):
+            zn = (z - norm.z_mean) / norm.z_std
+            mu_n, _ = gp_core.predict(post, zn, cfg)
+            return norm.y_mean + norm.y_std * mu_n
+
+        return f
+
+    def linearize(self, z) -> jnp.ndarray:
+        """Jacobian of the predictive mean at z, (Ny, D) — used for the LQR
+        feedback gain when the dynamics are GP-based [SURVEY C5, conf. L]."""
+        return jax.jacfwd(self.mean_fn())(jnp.asarray(z))
+
+    def noise_cov(self) -> jnp.ndarray:
+        """Learned process-noise covariance diag(sn2) in raw output units."""
+        sn2 = jnp.exp(self.hyper.log_sn2) + self.cfg.min_noise
+        return jnp.diag(sn2 * self.norm.y_std ** 2)
+
+    # ------------------------------------------------------------ validate
+
+    def validate(self, X_test, Y_test, verbose: bool = True):
+        """Held-out metrics per output dim: SMSE and MNLP
+        [SURVEY C4/C5 validate, §4 test strategy]."""
+        X_test = jnp.asarray(X_test)
+        Y_test = np.asarray(Y_test)
+        post, norm = self.post, self.norm
+        cfg = dataclasses.replace(self.cfg, predict_includes_noise=True)
+
+        def one(z):
+            zn = (z - norm.z_mean) / norm.z_std
+            mu_n, var_n = gp_core.predict(post, zn, cfg)
+            return (norm.y_mean + norm.y_std * mu_n,
+                    jnp.maximum(norm.y_std ** 2 * var_n, 1e-12))
+
+        mu, var = jax.vmap(one)(X_test)
+        mu, var = np.asarray(mu), np.asarray(var)
+        err2 = (mu - Y_test) ** 2
+        smse = err2.mean(axis=0) / Y_test.var(axis=0)
+        mnlp = 0.5 * (err2 / var + np.log(2 * np.pi * var)).mean(axis=0)
+        if verbose:
+            for d in range(self.Ny):
+                print(f"dim {d}: SMSE={smse[d]:.4g}  MNLP={mnlp[d]:.4g}")
+        return smse, mnlp
+
+    # ------------------------------------------------------------ persist
+
+    def save_model(self, path: str) -> None:
+        """Persist X, Y, hypers to ``.npz`` [SURVEY C5 save_model]."""
+        np.savez(path,
+                 X=np.asarray(self.X_raw), Y=np.asarray(self.Y_raw),
+                 log_ell=np.asarray(self.hyper.log_ell),
+                 log_sf2=np.asarray(self.hyper.log_sf2),
+                 log_sn2=np.asarray(self.hyper.log_sn2),
+                 mean_w=np.asarray(self.hyper.mean_w),
+                 mean_func=self.cfg.mean_func,
+                 gp_method=self.gp_method,
+                 normalize=self.cfg.normalize)
+
+    @classmethod
+    def load_model(cls, path: str) -> "GP":
+        """Rebuild a trained GP from ``.npz`` [SURVEY C5 load_model]."""
+        z = np.load(path)
+        hyper = gp_core.GPHypers(
+            log_ell=jnp.asarray(z["log_ell"]),
+            log_sf2=jnp.asarray(z["log_sf2"]),
+            log_sn2=jnp.asarray(z["log_sn2"]),
+            mean_w=jnp.asarray(z["mean_w"]))
+        return cls(z["X"], z["Y"], mean_func=str(z["mean_func"]),
+                   gp_method=str(z["gp_method"]), hyper=hyper,
+                   normalize=bool(z["normalize"]))
+
+    # ------------------------------------------------------------ misc
+
+    def get_size(self) -> Tuple[int, int, int]:
+        """(N, D, Ny) — training-set size, input dim, output dim."""
+        return self.N, self.D, self.Ny
+
+    def print_hyper_parameters(self) -> None:
+        """Pretty-print trained hypers [SURVEY C5]."""
+        h = self.hyper
+        for d in range(self.Ny):
+            ell = ", ".join(f"{v:.4g}" for v in np.exp(h.log_ell[d]))
+            print(f"GP dim {d}: ell=[{ell}]  "
+                  f"sf2={float(np.exp(h.log_sf2[d])):.4g}  "
+                  f"sn2={float(np.exp(h.log_sn2[d])):.4g}"
+                  + (f"  NLL={float(self.nll[d]):.4g}"
+                     if self.nll is not None else ""))

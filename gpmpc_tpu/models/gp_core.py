@@ -1,0 +1,235 @@
+"""Functional GP core: NLL, hyperparameter training, posterior, prediction.
+
+TPU-native rebuild of the reference's GP math and trainer:
+
+* NLL / training — ``gp_mpc/optimize.py::{calc_NLL, train_gp}`` [SURVEY C4]:
+  per output dim d, K = K_SE + sn2*I, L = chol(K), alpha = K^{-1}(y - m(X)),
+  NLL = 0.5 y^T alpha + sum(log diag L) + (N/2) log 2pi, minimized over
+  theta_d with multistart.  The reference solves this with IPOPT under
+  positivity bounds, one output dim at a time, in a Python loop; here the
+  hypers live in log space (unconstrained), the optimizer is on-device L-BFGS
+  (optax), and both the Ny output dims *and* the multistart restarts are a
+  single ``vmap`` — one compiled program trains every GP at once.
+
+* Prediction — ``gp_mpc/gp_functions.py::gp`` [SURVEY C3b]: per dim,
+  mu = m(z) + k*^T alpha, var = sf2 - k*^T K^{-1} k*.
+
+All shapes are static; everything is jit/vmap-safe.  Inputs here are in
+*normalized* space — the :class:`gpmpc_tpu.models.gp.GP` wrapper owns
+normalization [SURVEY C5].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+import optax.tree_utils as otu
+
+from gpmpc_tpu.ops.kernels import se_ard_cross, se_ard_gram
+from gpmpc_tpu.ops.chol import cholesky_psd, chol_solve, tri_solve
+from gpmpc_tpu.models.mean_functions import mean_value, num_mean_params
+from gpmpc_tpu.utils.config import GPConfig
+
+
+class GPHypers(NamedTuple):
+    """Stacked hyperparameters, one row per output dimension (Ny leading)."""
+
+    log_ell: jnp.ndarray    # (Ny, D) log lengthscales
+    log_sf2: jnp.ndarray    # (Ny,)   log signal variance
+    log_sn2: jnp.ndarray    # (Ny,)   log noise variance
+    mean_w: jnp.ndarray     # (Ny, F) mean-function weights (F may be 0)
+
+    @property
+    def ell(self):
+        return jnp.exp(self.log_ell)
+
+    @property
+    def sf2(self):
+        return jnp.exp(self.log_sf2)
+
+    @property
+    def sn2(self):
+        return jnp.exp(self.log_sn2)
+
+
+class GPPosterior(NamedTuple):
+    """Precomputed per-dim factorizations, the analog of the reference's
+    stored ``invK``/``alpha``/``chol`` [SURVEY C5, §3.2]."""
+
+    x: jnp.ndarray          # (N, D) training inputs (normalized)
+    chol: jnp.ndarray       # (Ny, N, N) lower Cholesky of K + sn2 I
+    alpha: jnp.ndarray      # (Ny, N) K^{-1} (y - m(X))
+    inv_k: jnp.ndarray      # (Ny, N, N) explicit inverse (EM propagation path)
+    hypers: GPHypers
+
+
+def _noise_var(log_sn2: jnp.ndarray, cfg: GPConfig) -> jnp.ndarray:
+    return jnp.exp(log_sn2) + cfg.min_noise
+
+
+def nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
+               log_sn2: jnp.ndarray, mean_w: jnp.ndarray,
+               x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
+               mean_func: str) -> jnp.ndarray:
+    """Negative log marginal likelihood for ONE output dimension.
+
+    Parity target: ``gp_mpc/optimize.py::calc_NLL`` [SURVEY C4, §3.2].
+    """
+    n = x.shape[0]
+    sf2 = jnp.exp(log_sf2)
+    sn2 = _noise_var(log_sn2, cfg)
+    k = se_ard_gram(x, jnp.exp(log_ell), sf2, sn2, jitter=cfg.jitter)
+    l = cholesky_psd(k)
+    r = y - mean_value(x, mean_w, mean_func)
+    a = chol_solve(l, r)
+    nll = (0.5 * jnp.dot(r, a)
+           + jnp.sum(jnp.log(jnp.diagonal(l)))
+           + 0.5 * n * math.log(2.0 * math.pi))
+    # weak log-space prior keeps L-BFGS out of overflow territory (the
+    # reference's IPOPT bounds / lam_x regularization play this role
+    # [SURVEY C4, confidence L])
+    prior = 1e-4 * (jnp.sum(log_ell ** 2) + log_sf2 ** 2 + log_sn2 ** 2)
+    return nll + prior
+
+
+def _init_hypers(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
+                 n_starts: int, mean_func: str) -> GPHypers:
+    """Data-driven multistart initializations (stacked over starts and dims).
+
+    Base point: lengthscales at the per-dim input std, signal variance at
+    var(y), noise at var(y)/100; restarts perturb in log space.
+    """
+    n, d = x.shape
+    ny = y.shape[1]
+    f = num_mean_params(mean_func, d)
+    x_std = jnp.std(x, axis=0) + 1e-8
+    y_var = jnp.var(y, axis=0) + 1e-8
+
+    base_log_ell = jnp.broadcast_to(jnp.log(x_std), (ny, d))
+    base_log_sf2 = jnp.log(y_var)
+    base_log_sn2 = jnp.log(y_var) - jnp.log(100.0)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    pert_ell = jax.random.normal(k1, (n_starts, ny, d)) * 0.7
+    pert_sf2 = jax.random.normal(k2, (n_starts, ny)) * 0.7
+    pert_sn2 = jax.random.normal(k3, (n_starts, ny)) * 1.5
+    # first start is the unperturbed heuristic
+    pert_ell = pert_ell.at[0].set(0.0)
+    pert_sf2 = pert_sf2.at[0].set(0.0)
+    pert_sn2 = pert_sn2.at[0].set(0.0)
+
+    return GPHypers(
+        log_ell=base_log_ell[None] + pert_ell,
+        log_sf2=base_log_sf2[None] + pert_sf2,
+        log_sn2=base_log_sn2[None] + pert_sn2,
+        mean_w=jnp.zeros((n_starts, ny, f), dtype=x.dtype),
+    )
+
+
+def _run_lbfgs(fun, theta0, max_iters: int, tol: float):
+    """Minimize ``fun`` from ``theta0`` with optax L-BFGS under a
+    ``lax.while_loop`` (bounded iterations, jit/vmap-safe)."""
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def step(carry):
+        theta, state = carry
+        value, grad = value_and_grad(theta, state=state)
+        updates, state = opt.update(grad, state, theta, value=value,
+                                    grad=grad, value_fn=fun)
+        theta = optax.apply_updates(theta, updates)
+        return theta, state
+
+    def cont(carry):
+        _, state = carry
+        count = otu.tree_get(state, "count")
+        grad = otu.tree_get(state, "grad")
+        err = otu.tree_norm(grad)
+        return (count == 0) | ((count < max_iters) & (err >= tol))
+
+    theta, state = jax.lax.while_loop(cont, step, (theta0, opt.init(theta0)))
+    return theta, fun(theta)
+
+
+def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
+        key: jax.Array) -> Tuple[GPHypers, jnp.ndarray]:
+    """Train all Ny GPs with multistart; returns best hypers + final NLLs.
+
+    Parity target: ``gp_mpc/optimize.py::train_gp`` [SURVEY C4] — but the
+    (multistart x output-dim) grid runs as one vmapped compiled program
+    instead of a sequential Python loop over IPOPT calls [SURVEY §2.3 DP row].
+    """
+    ny = y.shape[1]
+    starts = _init_hypers(key, x, y, cfg.multistart, cfg.mean_func)
+
+    def fit_one(log_ell, log_sf2, log_sn2, mean_w, y_d):
+        theta0 = {"log_ell": log_ell, "log_sf2": log_sf2,
+                  "log_sn2": log_sn2, "mean_w": mean_w}
+
+        def fun(t):
+            return nll_single(t["log_ell"], t["log_sf2"], t["log_sn2"],
+                              t["mean_w"], x, y_d, cfg, cfg.mean_func)
+
+        theta, value = _run_lbfgs(fun, theta0, cfg.max_iters, cfg.grad_tol)
+        return theta, value
+
+    # vmap over output dims (inner) and multistarts (outer)
+    per_dim = jax.vmap(fit_one, in_axes=(0, 0, 0, 0, 1))
+    per_start = jax.vmap(per_dim, in_axes=(0, 0, 0, 0, None))
+    thetas, values = per_start(starts.log_ell, starts.log_sf2,
+                               starts.log_sn2, starts.mean_w, y)
+
+    values = jnp.where(jnp.isfinite(values), values, jnp.inf)
+    best = jnp.argmin(values, axis=0)                      # (Ny,)
+    dims = jnp.arange(ny)
+    hypers = GPHypers(
+        log_ell=thetas["log_ell"][best, dims],
+        log_sf2=thetas["log_sf2"][best, dims],
+        log_sn2=thetas["log_sn2"][best, dims],
+        mean_w=thetas["mean_w"][best, dims],
+    )
+    return hypers, values[best, dims]
+
+
+def posterior(x: jnp.ndarray, y: jnp.ndarray, hypers: GPHypers,
+              cfg: GPConfig) -> GPPosterior:
+    """Precompute per-dim chol/alpha/invK [SURVEY C5 'per-dim invK']."""
+    def one(log_ell, log_sf2, log_sn2, mean_w, y_d):
+        sn2 = _noise_var(log_sn2, cfg)
+        k = se_ard_gram(x, jnp.exp(log_ell), jnp.exp(log_sf2), sn2,
+                        jitter=cfg.jitter)
+        l = cholesky_psd(k)
+        r = y_d - mean_value(x, mean_w, cfg.mean_func)
+        alpha = chol_solve(l, r)
+        inv_l = tri_solve(l, jnp.eye(x.shape[0], dtype=x.dtype))
+        inv_k = inv_l.T @ inv_l
+        return l, alpha, inv_k
+
+    l, alpha, inv_k = jax.vmap(one, in_axes=(0, 0, 0, 0, 1))(
+        hypers.log_ell, hypers.log_sf2, hypers.log_sn2, hypers.mean_w, y)
+    return GPPosterior(x=x, chol=l, alpha=alpha, inv_k=inv_k, hypers=hypers)
+
+
+def predict(post: GPPosterior, z: jnp.ndarray, cfg: GPConfig
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic-input predictive mean/variance at z: (D,) -> ((Ny,), (Ny,)).
+
+    Parity target: ``gp_mpc/gp_functions.py::gp`` [SURVEY C3b].
+    """
+    def one(log_ell, log_sf2, log_sn2, mean_w, alpha, chol_l):
+        ks = se_ard_cross(z[None, :], post.x, jnp.exp(log_ell),
+                          jnp.exp(log_sf2))[0]                    # (N,)
+        mu = mean_value(z, mean_w, cfg.mean_func) + jnp.dot(ks, alpha)
+        v = tri_solve(chol_l, ks)                                 # L^{-1} k*
+        var = jnp.exp(log_sf2) - jnp.dot(v, v)
+        if cfg.predict_includes_noise:
+            var = var + _noise_var(log_sn2, cfg)
+        return mu, jnp.maximum(var, 0.0)
+
+    h = post.hypers
+    return jax.vmap(one)(h.log_ell, h.log_sf2, h.log_sn2, h.mean_w,
+                         post.alpha, post.chol)

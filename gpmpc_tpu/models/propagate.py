@@ -1,0 +1,197 @@
+"""Uncertainty propagation through the GP dynamics model.
+
+TPU-native rebuild of ``gp_mpc/gp_functions.py::{gp, gp_taylor_approx,
+gp_exact_moment}`` [SURVEY C3b-d].  The reference builds these as CasADi SX
+expressions embedded in the MPC's NLP graph; here they are pure JAX functions
+traced into the same jitted program as the solver [SURVEY §1 "key
+architectural fact"].
+
+Three schemes, one signature.  Given GP input z ~ N(mu_z, Sigma_z) with
+z = [x; u] (raw, unnormalized space):
+
+* ME  (mean equivalent): output moments at the input mean only —
+  mu = gp_mean(mu_z), Sigma = diag(gp_var(mu_z)); input covariance ignored.
+* TA  (first-order Taylor, Girard et al. 2003): mean as ME;
+  Sigma = diag(gp_var(mu_z)) + J Sigma_z J^T with J = d mu / d z computed by
+  ``jax.jacfwd`` (autodiff replaces the reference's hand-derived kernel
+  derivatives).
+* EM  (exact moment matching, Candela/Girard/Rasmussen 2003; PILCO): exact
+  output mean and FULL output covariance (cross-covariances between output
+  dims included) for the SE-ARD kernel under Gaussian input; closed forms
+  vectorized as batched matmuls.
+
+Each returns ``(mu_y (Ny,), Sigma_y (Ny,Ny), C (D,Ny))`` where
+``C = cov(z, y)`` is the input-output cross-covariance (needed for delta-state
+targets and hybrid models; zero for ME).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.models import gp_core
+from gpmpc_tpu.models.mean_functions import mean_value
+from gpmpc_tpu.ops.kernels import se_ard_cross
+from gpmpc_tpu.ops.chol import tri_solve
+from gpmpc_tpu.utils.config import GPConfig
+
+
+class Normalization(NamedTuple):
+    """z-score statistics mapping raw <-> normalized spaces [SURVEY C5]."""
+
+    z_mean: jnp.ndarray   # (D,)
+    z_std: jnp.ndarray    # (D,)
+    y_mean: jnp.ndarray   # (Ny,)
+    y_std: jnp.ndarray    # (Ny,)
+
+    @staticmethod
+    def identity(d: int, ny: int, dtype=jnp.float32) -> "Normalization":
+        return Normalization(jnp.zeros(d, dtype), jnp.ones(d, dtype),
+                             jnp.zeros(ny, dtype), jnp.ones(ny, dtype))
+
+
+def _raw_mean_var(post: gp_core.GPPosterior, norm: Normalization,
+                  cfg: GPConfig, z_raw: jnp.ndarray):
+    """Predictive mean/variance in raw space at a raw input point."""
+    zn = (z_raw - norm.z_mean) / norm.z_std
+    mu_n, var_n = gp_core.predict(post, zn, cfg)
+    return norm.y_mean + norm.y_std * mu_n, (norm.y_std ** 2) * var_n
+
+
+# ------------------------------------------------------------------ ME
+
+def propagate_me(post: gp_core.GPPosterior, norm: Normalization,
+                 cfg: GPConfig, mu_z: jnp.ndarray, cov_z: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mean-equivalent: input covariance ignored [SURVEY C3b/§3.3 'ME']."""
+    mu, var = _raw_mean_var(post, norm, cfg, mu_z)
+    d = mu_z.shape[0]
+    c = jnp.zeros((d, mu.shape[0]), dtype=mu.dtype)
+    return mu, jnp.diag(var), c
+
+
+# ------------------------------------------------------------------ TA
+
+def propagate_ta(post: gp_core.GPPosterior, norm: Normalization,
+                 cfg: GPConfig, mu_z: jnp.ndarray, cov_z: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """First-order Taylor (Girard 2003) [SURVEY C3c].
+
+    Sigma_y = diag(var(mu_z)) + J Sigma_z J^T,  C = Sigma_z J^T.
+    """
+    def mean_fn(z):
+        return _raw_mean_var(post, norm, cfg, z)[0]
+
+    mu, var = _raw_mean_var(post, norm, cfg, mu_z)
+    jac = jax.jacfwd(mean_fn)(mu_z)                     # (Ny, D)
+    sigma = jnp.diag(var) + jac @ cov_z @ jac.T
+    c = cov_z @ jac.T                                   # (D, Ny)
+    return mu, sigma, c
+
+
+# ------------------------------------------------------------------ EM
+
+def propagate_em(post: gp_core.GPPosterior, norm: Normalization,
+                 cfg: GPConfig, mu_z: jnp.ndarray, cov_z: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact moment matching for the SE-ARD kernel under Gaussian input
+    [SURVEY C3d]; Candela/Girard/Rasmussen 2003 eqns (PILCO forms).
+
+    Requires a zero prior mean (in normalized space) — enforced by the GP
+    wrapper when ``gp_method='EM'`` is selected.
+
+    All training-point sums are batched matmuls: per output dim the q-vector
+    is one triangular solve + row-reduction; the pairwise Q-matrix for each
+    output pair (a, b) factorizes into rank-structured terms whose coupling
+    is a single (N, D) x (D, N) matmul — MXU work, no Python loops.
+    """
+    h = post.hypers
+    x = post.x                                          # (N, D) normalized
+    n, d = x.shape
+    ny = h.log_sf2.shape[0]
+    dtype = mu_z.dtype
+
+    # move the Gaussian into normalized input space
+    m = (mu_z - norm.z_mean) / norm.z_std
+    s = cov_z / (norm.z_std[:, None] * norm.z_std[None, :])
+
+    nu = x - m[None, :]                                 # (N, D)
+    beta = post.alpha                                   # (Ny, N)
+    ell2 = jnp.exp(2.0 * h.log_ell)                     # (Ny, D)
+    sf2 = jnp.exp(h.log_sf2)                            # (Ny,)
+    eye_d = jnp.eye(d, dtype=dtype)
+
+    # ---- per-dim mean + cross-covariance --------------------------------
+    def per_dim(ell2_a, sf2_a, beta_a):
+        t = s + jnp.diag(ell2_a)                        # S + Lambda_a
+        lt = jnp.linalg.cholesky(t)
+        # (S + Lam)^-1 nu_i for all i: solve with chol, (D, N)
+        sol = tri_solve(lt, nu.T)
+        quad = jnp.sum(sol * sol, axis=0)               # nu^T T^-1 nu, (N,)
+        # |S Lam^-1 + I|^{-1/2} = |Lam|^{1/2} |S + Lam|^{-1/2}
+        logdet = (0.5 * jnp.sum(jnp.log(ell2_a))
+                  - jnp.sum(jnp.log(jnp.diagonal(lt))))
+        q = sf2_a * jnp.exp(logdet - 0.5 * quad)        # (N,)
+        mu_a = jnp.dot(beta_a, q)
+        tinv_nu = tri_solve(lt, sol, trans=True)        # T^-1 nu_i, (D, N)
+        c_a = (s @ tinv_nu) @ (beta_a * q)              # (D,)
+        return mu_a, q, c_a
+
+    mu_n, q_all, c_n = jax.vmap(per_dim)(ell2, sf2, beta)
+    # c_n: (Ny, D) -> cross-cov (D, Ny)
+    c_n = c_n.T
+
+    # ---- pairwise covariance -------------------------------------------
+    # log k_a(x_i, m) for all dims a and points i: (Ny, N)
+    def log_k(ell2_a, sf2_a):
+        return jnp.log(sf2_a) - 0.5 * jnp.sum(nu * nu / ell2_a, axis=1)
+
+    log_km = jax.vmap(log_k)(ell2, sf2)
+
+    def pair(a, b):
+        il_a = 1.0 / ell2[a]                            # (D,)
+        il_b = 1.0 / ell2[b]
+        r = s * (il_a + il_b)[None, :] + eye_d          # S P + I  (not symm)
+        # R^{-1} S is symmetric; factor via solve
+        ris = jnp.linalg.solve(r, s)                    # (D, D)
+        _, logdet_r = jnp.linalg.slogdet(r)
+        u = nu * il_a[None, :]                          # (N, D)
+        v = nu * il_b[None, :]                          # (N, D)
+        uu = jnp.sum((u @ ris) * u, axis=1)             # (N,)
+        vv = jnp.sum((v @ ris) * v, axis=1)             # (N,)
+        uv = u @ ris @ v.T                              # (N, N) matmul
+        log_q2 = (log_km[a][:, None] + log_km[b][None, :]
+                  - 0.5 * logdet_r
+                  + 0.5 * (uu[:, None] + vv[None, :]) + uv)
+        q2 = jnp.exp(log_q2)
+        val = beta[a] @ q2 @ beta[b] - mu_n[a] * mu_n[b]
+        diag_term = sf2[a] - jnp.sum(post.inv_k[a] * q2)
+        return val + jnp.where(a == b, diag_term, 0.0)
+
+    idx = jnp.arange(ny)
+    sigma_n = jax.vmap(lambda a: jax.vmap(lambda b: pair(a, b))(idx))(idx)
+
+    # ---- denormalize ----------------------------------------------------
+    mu = norm.y_mean + norm.y_std * mu_n
+    sigma = sigma_n * (norm.y_std[:, None] * norm.y_std[None, :])
+    c = c_n * (norm.z_std[:, None] * norm.y_std[None, :])
+    return mu, sigma, c
+
+
+PROPAGATORS = {
+    "ME": propagate_me,
+    "TA": propagate_ta,
+    "EM": propagate_em,
+}
+
+
+def get_propagator(method: str):
+    """Select the propagation scheme [SURVEY C5 ``set_method('ME'|'TA'|'EM')``]."""
+    try:
+        return PROPAGATORS[method.upper()]
+    except KeyError:
+        raise ValueError(
+            f"unknown gp_method {method!r}; expected ME, TA, or EM") from None

@@ -1,0 +1,136 @@
+"""GP core vs. the NumPy oracle: kernel, NLL, training, prediction.
+
+Test strategy per SURVEY.md §4: unit math tests against a naive oracle
+(the reference itself ships no tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpmpc_tpu.ops.kernels import se_ard, se_ard_cross, se_ard_gram
+from gpmpc_tpu.ops.chol import cholesky_psd, cholupdate
+from gpmpc_tpu.models import gp_core
+from gpmpc_tpu.utils.config import GPConfig
+
+import oracle
+
+RNG = np.random.default_rng(0)
+
+
+def _toy_data(n=30, d=3, ny=2):
+    x = RNG.uniform(-2, 2, size=(n, d))
+    y = np.stack([np.sin(x @ RNG.uniform(0.5, 1.5, d)),
+                  np.cos(x @ RNG.uniform(0.5, 1.5, d))], axis=1)[:, :ny]
+    y += 0.01 * RNG.standard_normal(y.shape)
+    return x, y
+
+
+def test_kernel_matches_oracle():
+    d = 4
+    x = RNG.standard_normal(d)
+    z = RNG.standard_normal(d)
+    ell = np.exp(RNG.standard_normal(d) * 0.3)
+    sf2 = 1.7
+    got = se_ard(jnp.array(x), jnp.array(z), jnp.array(ell), sf2)
+    want = oracle.cov_se_ard(x, z, ell, sf2)
+    assert abs(float(got) - want) < 1e-12
+
+
+def test_gram_matches_oracle():
+    x, _ = _toy_data()
+    ell = np.exp(RNG.standard_normal(x.shape[1]) * 0.3)
+    sf2, sn2 = 1.3, 0.01
+    got = np.asarray(se_ard_gram(jnp.array(x), jnp.array(ell), sf2, sn2))
+    want = oracle.gram(x, ell, sf2, sn2)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
+
+
+def test_cross_matches_oracle():
+    x, _ = _toy_data(n=10)
+    z = RNG.standard_normal((5, x.shape[1]))
+    ell = np.exp(RNG.standard_normal(x.shape[1]) * 0.3)
+    got = np.asarray(se_ard_cross(jnp.array(x), jnp.array(z), jnp.array(ell), 2.0))
+    want = np.array([[oracle.cov_se_ard(xi, zj, ell, 2.0) for zj in z]
+                     for xi in x])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_nll_matches_oracle():
+    x, y = _toy_data()
+    ell = np.exp(RNG.standard_normal(x.shape[1]) * 0.2)
+    sf2, sn2 = 1.1, 0.05
+    cfg = GPConfig(min_noise=0.0, jitter=0.0)
+    got = gp_core.nll_single(jnp.log(jnp.array(ell)), jnp.log(sf2),
+                             jnp.log(sn2), jnp.zeros(0), jnp.array(x),
+                             jnp.array(y[:, 0]), cfg, "zero")
+    want = oracle.nll(x, y[:, 0], ell, sf2, sn2)
+    # implementation adds a weak log-space prior; subtract it
+    prior = 1e-4 * (np.sum(np.log(ell) ** 2) + np.log(sf2) ** 2
+                    + np.log(sn2) ** 2)
+    assert abs(float(got) - (want + prior)) < 1e-8
+
+
+def test_predict_matches_oracle():
+    x, y = _toy_data()
+    ny, d = y.shape[1], x.shape[1]
+    ells = np.exp(RNG.standard_normal((ny, d)) * 0.2)
+    sf2s = np.array([1.0, 1.5])
+    sn2s = np.array([0.01, 0.02])
+    cfg = GPConfig(min_noise=0.0, jitter=0.0)
+    hyp = gp_core.GPHypers(jnp.log(jnp.array(ells)), jnp.log(jnp.array(sf2s)),
+                           jnp.log(jnp.array(sn2s)), jnp.zeros((ny, 0)))
+    post = gp_core.posterior(jnp.array(x), jnp.array(y), hyp, cfg)
+    z = RNG.standard_normal(d)
+    mu, var = gp_core.predict(post, jnp.array(z), cfg)
+    want_mu, want_var = oracle.predict_multi(x, y, ells, sf2s, sn2s, z)
+    np.testing.assert_allclose(np.asarray(mu), want_mu, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var), want_var, atol=1e-9)
+
+
+def test_training_recovers_good_fit():
+    """L-BFGS multistart training reaches a good NLL and predicts held-out
+    data well (the reference quality bar: SMSE validation [SURVEY §4])."""
+    n, d = 80, 2
+    x = RNG.uniform(-3, 3, size=(n, d))
+    f = np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1])
+    y = (f + 0.05 * RNG.standard_normal(n))[:, None]
+    cfg = GPConfig(multistart=3, max_iters=200)
+    hyp, nlls = gp_core.fit(jnp.array(x), jnp.array(y), cfg,
+                            jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(nlls)))
+    post = gp_core.posterior(jnp.array(x), jnp.array(y), hyp, cfg)
+    xt = RNG.uniform(-3, 3, size=(200, d))
+    ft = np.sin(xt[:, 0]) * np.cos(0.5 * xt[:, 1])
+    mus = np.array([np.asarray(gp_core.predict(post, jnp.array(z), cfg)[0])[0]
+                    for z in xt])
+    smse = np.mean((mus - ft) ** 2) / np.var(ft)
+    assert smse < 0.05, f"SMSE {smse} too large"
+
+
+def test_cholupdate():
+    n = 12
+    a = RNG.standard_normal((n, n))
+    spd = a @ a.T + n * np.eye(n)
+    v = RNG.standard_normal(n)
+    l = np.asarray(cholesky_psd(jnp.array(spd)))
+    l_up = np.asarray(cholupdate(jnp.array(l), jnp.array(v)))
+    np.testing.assert_allclose(l_up @ l_up.T, spd + np.outer(v, v), atol=1e-9)
+    l_down = np.asarray(cholupdate(jnp.array(l_up), jnp.array(v),
+                                   downdate=True))
+    np.testing.assert_allclose(l_down @ l_down.T, spd, atol=1e-8)
+
+
+def test_predict_jit_and_vmap_consistency():
+    """vmap-of-1 == unbatched (device-parity strategy, SURVEY §4)."""
+    x, y = _toy_data()
+    cfg = GPConfig(min_noise=0.0, jitter=0.0)
+    ny, d = y.shape[1], x.shape[1]
+    hyp = gp_core.GPHypers(jnp.zeros((ny, d)), jnp.zeros(ny),
+                           jnp.full(ny, -3.0), jnp.zeros((ny, 0)))
+    post = gp_core.posterior(jnp.array(x), jnp.array(y), hyp, cfg)
+    z = jnp.array(RNG.standard_normal((4, d)))
+    single = jnp.stack([gp_core.predict(post, zi, cfg)[0] for zi in z])
+    batched = jax.vmap(lambda zi: gp_core.predict(post, zi, cfg)[0])(z)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(batched),
+                               atol=1e-12)

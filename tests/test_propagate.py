@@ -1,0 +1,125 @@
+"""ME/TA/EM uncertainty propagation vs. the NumPy oracle and Monte Carlo.
+
+EM is additionally cross-checked by sampling (the hard part — SURVEY §7
+'Hard parts' #2: verify the cross-covariance algebra before fusing)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpmpc_tpu.models import gp_core
+from gpmpc_tpu.models.propagate import (
+    Normalization, propagate_me, propagate_ta, propagate_em)
+from gpmpc_tpu.utils.config import GPConfig
+
+import oracle
+
+RNG = np.random.default_rng(42)
+
+
+def _setup(n=25, d=3, ny=2, normalize=False):
+    x = RNG.uniform(-2, 2, size=(n, d))
+    y = np.stack([np.sin(x @ np.array([1.0, 0.5, -0.3])),
+                  np.cos(x @ np.array([-0.4, 1.1, 0.2]))], axis=1)[:, :ny]
+    ells = np.exp(RNG.standard_normal((ny, d)) * 0.2 + 0.3)
+    sf2s = np.array([1.2, 0.8])[:ny]
+    sn2s = np.array([0.02, 0.05])[:ny]
+    cfg = GPConfig(min_noise=0.0, jitter=0.0)
+    hyp = gp_core.GPHypers(jnp.log(jnp.array(ells)), jnp.log(jnp.array(sf2s)),
+                           jnp.log(jnp.array(sn2s)), jnp.zeros((ny, 0)))
+    post = gp_core.posterior(jnp.array(x), jnp.array(y), hyp, cfg)
+    norm = Normalization.identity(d, ny, jnp.array(x).dtype)
+    m = RNG.uniform(-1, 1, size=d)
+    a = RNG.standard_normal((d, d)) * 0.15
+    s = a @ a.T + 0.01 * np.eye(d)
+    return x, y, ells, sf2s, sn2s, cfg, post, norm, m, s
+
+
+def test_me_matches_deterministic_predict():
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup()
+    mu, sig, c = propagate_me(post, norm, cfg, jnp.array(m), jnp.array(s))
+    want_mu, want_var = oracle.predict_multi(x, y, ells, sf2s, sn2s, m)
+    np.testing.assert_allclose(np.asarray(mu), want_mu, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sig), np.diag(want_var), atol=1e-9)
+    assert np.all(np.asarray(c) == 0.0)
+
+
+def test_ta_matches_oracle():
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup()
+    mu, sig, c = propagate_ta(post, norm, cfg, jnp.array(m), jnp.array(s))
+    want_mu, want_sig, jac = oracle.taylor_propagation(
+        x, y, ells, sf2s, sn2s, m, s)
+    np.testing.assert_allclose(np.asarray(mu), want_mu, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sig), want_sig, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), s @ jac.T, atol=1e-6)
+
+
+def test_em_matches_oracle():
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup()
+    mu, sig, c = propagate_em(post, norm, cfg, jnp.array(m), jnp.array(s))
+    want_mu, want_sig, want_c = oracle.exact_moment_matching(
+        x, y, ells, sf2s, sn2s, m, s)
+    np.testing.assert_allclose(np.asarray(mu), want_mu, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sig), want_sig, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(c), want_c, atol=1e-9)
+
+
+def test_em_against_monte_carlo():
+    """EM is *exact* for SE kernels under Gaussian inputs: the MC estimate of
+    the predictive moments must converge to it."""
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup(ny=2)
+    mu, sig, c = propagate_em(post, norm, cfg, jnp.array(m), jnp.array(s))
+
+    n_mc = 200_000
+    zs = RNG.multivariate_normal(m, s, size=n_mc)
+    mus = np.empty((n_mc, 2))
+    vars_ = np.empty((n_mc, 2))
+    # vectorized oracle-free MC using the jax predict path
+    import jax
+    from gpmpc_tpu.models import gp_core as gc
+
+    def one(z):
+        return gc.predict(post, z, cfg)
+
+    mu_s, var_s = jax.vmap(one)(jnp.array(zs))
+    mus, vars_ = np.asarray(mu_s), np.asarray(var_s)
+
+    mc_mean = mus.mean(axis=0)
+    # law of total (co)variance: cov = E[var] diag + cov(mu)
+    mc_cov = np.diag(vars_.mean(axis=0)) + np.cov(mus.T)
+    mc_cross = np.stack([
+        [np.cov(zs[:, i], mus[:, a])[0, 1] for a in range(2)]
+        for i in range(zs.shape[1])])
+
+    np.testing.assert_allclose(np.asarray(mu), mc_mean, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sig), mc_cov, atol=8e-3)
+    np.testing.assert_allclose(np.asarray(c), mc_cross, atol=5e-3)
+
+
+def test_em_with_normalization_consistency():
+    """EM through normalized stats must equal EM on pre-normalized data."""
+    x, y, ells, sf2s, sn2s, cfg, post, _, m, s = _setup()
+    d, ny = x.shape[1], y.shape[1]
+    z_mean = RNG.standard_normal(d) * 0.1
+    z_std = np.exp(RNG.standard_normal(d) * 0.2)
+    y_mean = RNG.standard_normal(ny) * 0.1
+    y_std = np.exp(RNG.standard_normal(ny) * 0.2)
+    norm = Normalization(jnp.array(z_mean), jnp.array(z_std),
+                         jnp.array(y_mean), jnp.array(y_std))
+    # posterior built on normalized data
+    xn = (x - z_mean) / z_std
+    yn = (y - y_mean) / y_std
+    hyp = gp_core.GPHypers(jnp.log(jnp.array(ells)), jnp.log(jnp.array(sf2s)),
+                           jnp.log(jnp.array(sn2s)), jnp.zeros((ny, 0)))
+    post_n = gp_core.posterior(jnp.array(xn), jnp.array(yn), hyp, cfg)
+    mu, sig, c = propagate_em(post_n, norm, cfg, jnp.array(m), jnp.array(s))
+    # oracle on normalized data, then denormalize by hand
+    mn = (m - z_mean) / z_std
+    sn = s / np.outer(z_std, z_std)
+    want_mu, want_sig, want_c = oracle.exact_moment_matching(
+        xn, yn, ells, sf2s, sn2s, mn, sn)
+    np.testing.assert_allclose(np.asarray(mu), y_mean + y_std * want_mu,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sig),
+                               want_sig * np.outer(y_std, y_std), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(c),
+                               want_c * np.outer(z_std, y_std), atol=1e-9)
