@@ -1,0 +1,249 @@
+"""Solver layer tests (SURVEY §4 'solver tests'): problems with known
+solutions — LQR reduces to a single Riccati solve; box-constrained problems
+are cross-checked against scipy SLSQP; KKT residuals at convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.linalg import solve_discrete_are
+from scipy.optimize import minimize
+
+from gpmpc_tpu.solvers import riccati
+from gpmpc_tpu.solvers.al_sqp import (
+    TrajectoryProblem, SolverState, init_state, shift_state, solve)
+from gpmpc_tpu.utils.config import SQPConfig
+
+RNG = np.random.default_rng(11)
+
+
+def _random_stage_qp(nt=5, nx=3, nu=2):
+    def spd(n, scale=1.0):
+        a = RNG.standard_normal((n, n))
+        return scale * (a @ a.T + n * np.eye(n))
+
+    a = RNG.standard_normal((nt, nx, nx)) * 0.5
+    b = RNG.standard_normal((nt, nx, nu)) * 0.5
+    c = RNG.standard_normal((nt, nx)) * 0.1
+    q_xx = np.stack([spd(nx) for _ in range(nt)])
+    q_uu = np.stack([spd(nu) for _ in range(nt)])
+    q_xu = RNG.standard_normal((nt, nx, nu)) * 0.1
+    q_x = RNG.standard_normal((nt, nx))
+    q_u = RNG.standard_normal((nt, nu))
+    qf_xx = spd(nx)
+    qf_x = RNG.standard_normal(nx)
+    return riccati.StageQP(
+        a=jnp.array(a), b=jnp.array(b), c=jnp.array(c),
+        q_xx=jnp.array(q_xx), q_uu=jnp.array(q_uu), q_xu=jnp.array(q_xu),
+        q_x=jnp.array(q_x), q_u=jnp.array(q_u),
+        qf_xx=jnp.array(qf_xx), qf_x=jnp.array(qf_x))
+
+
+def _qp_objective(qp, dx, du):
+    nt = qp.a.shape[0]
+    obj = 0.0
+    for t in range(nt):
+        obj += (0.5 * dx[t] @ np.asarray(qp.q_xx[t]) @ dx[t]
+                + dx[t] @ np.asarray(qp.q_xu[t]) @ du[t]
+                + 0.5 * du[t] @ np.asarray(qp.q_uu[t]) @ du[t]
+                + np.asarray(qp.q_x[t]) @ dx[t] + np.asarray(qp.q_u[t]) @ du[t])
+    obj += 0.5 * dx[nt] @ np.asarray(qp.qf_xx) @ dx[nt] + np.asarray(qp.qf_x) @ dx[nt]
+    return obj
+
+
+def test_riccati_solves_the_banded_kkt():
+    """The Riccati sweep must reproduce the exact equality-constrained QP
+    optimum: compare against scipy solving the condensed dense problem."""
+    nt, nx, nu = 5, 3, 2
+    qp = _random_stage_qp(nt, nx, nu)
+    dx0 = np.zeros(nx)
+    sol = riccati.solve(qp, jnp.array(dx0), 0.0)
+    assert bool(sol.ok)
+
+    # dense reference: optimize over du only; dx follows linear dynamics
+    def unpack(z):
+        du = z.reshape(nt, nu)
+        dx = np.zeros((nt + 1, nx))
+        dx[0] = dx0
+        for t in range(nt):
+            dx[t + 1] = (np.asarray(qp.a[t]) @ dx[t]
+                         + np.asarray(qp.b[t]) @ du[t] + np.asarray(qp.c[t]))
+        return dx, du
+
+    res = minimize(lambda z: _qp_objective(qp, *unpack(z)),
+                   np.zeros(nt * nu), method="BFGS",
+                   options={"gtol": 1e-12, "maxiter": 500})
+    du_ref = res.x.reshape(nt, nu)
+    np.testing.assert_allclose(np.asarray(sol.du), du_ref, atol=1e-6)
+    dx_ref, _ = unpack(res.x)
+    np.testing.assert_allclose(np.asarray(sol.dx), dx_ref, atol=1e-6)
+
+
+def test_lqr_gain_matches_dare():
+    nx, nu = 4, 2
+    a = RNG.standard_normal((nx, nx))
+    a = 0.9 * a / np.max(np.abs(np.linalg.eigvals(a)))
+    b = RNG.standard_normal((nx, nu))
+    q = np.eye(nx)
+    r = 2.0 * np.eye(nu)
+    p = solve_discrete_are(a, b, q, r)
+    k_ref = np.linalg.solve(r + b.T @ p @ b, b.T @ p @ a)
+    k = riccati.lqr_gain(jnp.array(a), jnp.array(b), jnp.array(q),
+                         jnp.array(r), iters=500)
+    np.testing.assert_allclose(np.asarray(k), k_ref, atol=1e-8)
+
+
+def _double_integrator_problem(nt=10, dt=0.1, umax=1.0, with_box=True):
+    nx, nu = 2, 1
+    a = np.array([[1.0, dt], [0.0, 1.0]])
+    b = np.array([[0.5 * dt * dt], [dt]])
+    q = np.diag([1.0, 0.1])
+    r_cost = 0.01 * np.eye(nu)
+    x_ref = np.array([1.0, 0.0])
+
+    def dynamics(x, u, t, params):
+        return jnp.array(a) @ x + jnp.array(b) @ u
+
+    def stage_cost(x, u, t, params):
+        e = x - jnp.array(x_ref)
+        return 0.5 * e @ jnp.array(q) @ e + 0.5 * u @ jnp.array(r_cost) @ u
+
+    def terminal_cost(x, params):
+        e = x - jnp.array(x_ref)
+        return 5.0 * e @ jnp.array(q) @ e
+
+    if with_box:
+        def stage_ineq(x, u, t, params):
+            return jnp.concatenate([u - umax, -u - umax])
+        n_ineq = 2
+    else:
+        stage_ineq, n_ineq = None, 0
+
+    prob = TrajectoryProblem(nx=nx, nu=nu, horizon=nt, dynamics=dynamics,
+                             stage_cost=stage_cost,
+                             terminal_cost=terminal_cost,
+                             stage_ineq=stage_ineq, n_ineq=n_ineq)
+    return prob, a, b, q, r_cost, x_ref
+
+
+def _scipy_reference(prob, a, b, q, r_cost, x_ref, x0, umax=None):
+    nt, nu, nx = prob.horizon, prob.nu, prob.nx
+
+    def rollout(z):
+        u = z.reshape(nt, nu)
+        x = np.zeros((nt + 1, nx))
+        x[0] = x0
+        for t in range(nt):
+            x[t + 1] = a @ x[t] + b @ u[t]
+        return x, u
+
+    def obj(z):
+        x, u = rollout(z)
+        c = 0.0
+        for t in range(nt):
+            e = x[t] - x_ref
+            c += 0.5 * e @ q @ e + 0.5 * u[t] @ r_cost @ u[t]
+        e = x[nt] - x_ref
+        c += 5.0 * e @ q @ e
+        return c
+
+    bounds = None if umax is None else [(-umax, umax)] * (nt * nu)
+    res = minimize(obj, np.zeros(nt * nu), method="SLSQP", bounds=bounds,
+                   options={"maxiter": 500, "ftol": 1e-14})
+    return res.x.reshape(nt, nu), res.fun
+
+
+def test_alsqp_unconstrained_matches_lqr_solution():
+    prob, a, b, q, r_cost, x_ref = _double_integrator_problem(with_box=False)
+    x0 = jnp.array([0.0, 0.0])
+    init = init_state(prob, x0, params=None)
+    res = solve(prob, None, init, SQPConfig())
+    u_ref, obj_ref = _scipy_reference(prob, a, b, q, r_cost, x_ref,
+                                      np.zeros(2))
+    assert float(res.defect) < 1e-8
+    np.testing.assert_allclose(np.asarray(res.state.u), u_ref, atol=1e-5)
+    assert abs(float(res.obj) - obj_ref) < 1e-7
+
+
+def test_alsqp_box_constrained_matches_slsqp():
+    prob, a, b, q, r_cost, x_ref = _double_integrator_problem(umax=0.4)
+    x0 = jnp.array([0.0, 0.0])
+    init = init_state(prob, x0, params=None)
+    res = solve(prob, None, init, SQPConfig())
+    u = np.asarray(res.state.u)
+    assert float(res.defect) < 1e-7
+    assert np.max(np.abs(u)) <= 0.4 + 1e-6, "input bound violated"
+    u_ref, obj_ref = _scipy_reference(prob, a, b, q, r_cost, x_ref,
+                                      np.zeros(2), umax=0.4)
+    # active-set problems: compare objective (controls may chatter at bound)
+    assert float(res.obj) <= obj_ref + 1e-5
+    np.testing.assert_allclose(u, u_ref, atol=1e-3)
+
+
+def test_alsqp_nonlinear_pendulum():
+    """Nonlinear dynamics: damped pendulum swing toward upright with bounded
+    torque; checks defect closure + bound feasibility + local optimality
+    (no-improvement under random feasible perturbations)."""
+    nt, dt = 20, 0.1
+    umax = 8.0  # feasible direct swing-up (2.5 is under-actuated for this horizon)
+
+    def f(x, u, t, params):
+        th, w = x[0], x[1]
+        dth = w
+        dw = -9.81 * jnp.sin(th) - 0.3 * w + u[0]
+        # RK2 midpoint for a stiffer test of GN linearization
+        thm = th + 0.5 * dt * dth
+        wm = w + 0.5 * dt * dw
+        return jnp.stack([th + dt * wm,
+                          w + dt * (-9.81 * jnp.sin(thm) - 0.3 * wm + u[0])])
+
+    x_goal = jnp.array([np.pi, 0.0])
+
+    def stage_cost(x, u, t, params):
+        e = x - x_goal
+        return 0.5 * (e @ jnp.diag(jnp.array([1.0, 0.1])) @ e) + 0.01 * u @ u
+
+    def terminal_cost(x, params):
+        e = x - x_goal
+        return 10.0 * e @ e
+
+    def stage_ineq(x, u, t, params):
+        return jnp.concatenate([u - umax, -u - umax])
+
+    prob = TrajectoryProblem(nx=2, nu=1, horizon=nt, dynamics=f,
+                             stage_cost=stage_cost,
+                             terminal_cost=terminal_cost,
+                             stage_ineq=stage_ineq, n_ineq=2)
+    x0 = jnp.array([0.0, 0.0])
+    init = init_state(prob, x0, params=None)
+    cfg = SQPConfig(max_iters=60, al_iters=5)
+    res = solve(prob, None, init, cfg)
+    assert float(res.defect) < 1e-6
+    assert np.max(np.abs(np.asarray(res.state.u))) <= umax + 1e-5
+    # the solve must actually swing up toward the goal
+    final_err = float(jnp.linalg.norm(res.state.x[-1] - x_goal))
+    assert final_err < 0.35, f"final error {final_err}"
+
+    # local optimality: random feasible control perturbations don't improve
+    def total_cost(u_seq):
+        x = [x0]
+        for t in range(nt):
+            x.append(f(x[-1], u_seq[t], t, None))
+        c = sum(float(stage_cost(x[t], u_seq[t], t, None)) for t in range(nt))
+        return c + float(terminal_cost(x[-1], None))
+
+    u_star = np.asarray(res.state.u)
+    base = total_cost(jnp.array(u_star))
+    for _ in range(5):
+        pert = RNG.standard_normal(u_star.shape) * 0.01
+        u_try = np.clip(u_star + pert, -umax, umax)
+        assert total_cost(jnp.array(u_try)) >= base - 1e-4
+
+
+def test_shift_state_warm_start():
+    prob, *_ = _double_integrator_problem(with_box=False)
+    x0 = jnp.array([0.0, 0.0])
+    st = init_state(prob, x0, params=None)
+    x0n = jnp.array([0.3, 0.1])
+    sh = shift_state(st, x0n)
+    assert sh.x.shape == st.x.shape and sh.u.shape == st.u.shape
+    np.testing.assert_array_equal(np.asarray(sh.x[0]), np.asarray(x0n))
