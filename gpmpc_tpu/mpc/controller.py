@@ -1,6 +1,590 @@
-"""MPC controller — placeholder, implemented after the SQP solver layer."""
+"""Receding-horizon GP-MPC controller.
+
+TPU-native rebuild of ``gp_mpc/mpc_class.py::MPC`` [SURVEY C6].  Same
+capability surface — multiple-shooting NLP over the horizon, mean + covariance
+propagation (ME/TA/EM), chance-constraint tightening, linear state feedback,
+expected quadratic / saturating costs, delta-u penalties, soft state
+constraints, pluggable inequality constraints with per-solve runtime
+parameters, four discretization modes (gp | rk4 | exact | hybrid) — but a
+fundamentally different execution model:
+
+* the reference builds a CasADi NLP once and then calls IPOPT from Python at
+  every control step, crossing the Python->C++ boundary thousands of times
+  per solve [SURVEY §3.4]; here the NLP solve is the pure-JAX AL-SQP of
+  :mod:`gpmpc_tpu.solvers.al_sqp` (Riccati KKT sweep), and the ENTIRE
+  receding-horizon closed loop — covariance propagation, tightening, solve,
+  plant step, logging — is one jit-compiled ``lax.scan`` with zero host
+  round-trips (BASELINE north star).
+
+* covariance handling is *zero-order*: Sigma_t is propagated along the
+  current iterate's trajectory between SQP passes and enters the NLP as a
+  per-stage parameter (tightened bounds, trace cost terms), not as decision
+  variables.  This matches the zero-order GP-MPC scheme (Lahr et al.,
+  arXiv:2211.15522, listed in PAPERS.md) and resolves SURVEY C6's open
+  question ("whether Sigma is eliminated into the graph vs lifted as
+  decision variables": we parameterize it) in the TPU-friendly direction —
+  fixed QP structure, exact Riccati factorization.
+
+* the delta-u penalty S is handled by state augmentation (the previous
+  input rides in the state vector), keeping the NLP stage-separable so the
+  Riccati sweep still factors the KKT system exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.mpc import costs as cost_lib
+from gpmpc_tpu.models.dynamics import Model
+from gpmpc_tpu.models.gp import GP
+from gpmpc_tpu.solvers import al_sqp, riccati
+from gpmpc_tpu.utils.config import SQPConfig
+
+_BIG = 1e10
 
 
-class MPC:  # pragma: no cover - replaced by the real controller
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("MPC controller lands with the solver layer")
+class MPCParams(NamedTuple):
+    """Per-solve runtime parameters (the analog of the reference NLP's
+    parameter vector packed each step [SURVEY §3.4])."""
+
+    x0: jnp.ndarray          # (Nx,) current state
+    x_sp: jnp.ndarray        # (Nx,) setpoint
+    u_prev: jnp.ndarray      # (Nu,) last applied input (delta-u penalty)
+    margins_x: jnp.ndarray   # (Nt+1, Nx) chance tightening on state bounds
+    margins_u: jnp.ndarray   # (Nt, Nu) tightening on input bounds (feedback)
+    sigmas: jnp.ndarray      # (Nt+1, Nx, Nx) propagated covariances
+    con_par: jnp.ndarray     # (num_con_par,) user-constraint parameters
+
+
+class StepInfo(NamedTuple):
+    """Per-control-step diagnostics, stacked over the closed loop — the
+    structured analog of the reference's printed IPOPT status and wall time
+    [SURVEY C6 runtime, §5 'failure detection' / 'observability']."""
+
+    obj: jnp.ndarray
+    defect: jnp.ndarray
+    con_viol: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+class MPC:
+    """Uncertainty-aware receding-horizon controller.
+
+    Parity surface (``gp_mpc/mpc_class.py::MPC.__init__`` option set
+    [SURVEY C6]): ``horizon, model, gp, Q, P, R, S, lam, ulb, uub, xlb, xub,
+    terminal_constraint, feedback, percentile, gp_method, costFunc,
+    discrete_method, inequality_constraints, num_con_par, solver_opts``.
+
+    ``inequality_constraints(x, cov, u, par) -> (num_con,)`` returns general
+    constraint values with the convention g <= 0; ``par`` is a
+    ``num_con_par``-vector supplied per solve via ``con_par_func`` (this is
+    how the car example injects obstacle ellipses [SURVEY C6/C8]).
+    """
+
+    def __init__(self,
+                 horizon: float,
+                 model: Model,
+                 gp: Optional[GP] = None,
+                 Q=None, P=None, R=None, S=None,
+                 lam: float = 1e3,
+                 ulb=None, uub=None, xlb=None, xub=None,
+                 terminal_constraint: Optional[float] = None,
+                 feedback: bool = True,
+                 percentile: Optional[float] = None,
+                 gp_method: str = "TA",
+                 costFunc: str = "quad",
+                 discrete_method: str = "gp",
+                 hybrid_Bd=None,
+                 inequality_constraints: Optional[Callable] = None,
+                 num_con_par: int = 0,
+                 solver_opts: Optional[dict] = None,
+                 u_sp=None,
+                 op_x=None, op_u=None,
+                 include_noise_cov: bool = True,
+                 cov_updates: int = 2,
+                 dtype=None):
+        self.model = model
+        self.gp = gp
+        self.dt = model.dt
+        self.Nt = int(round(horizon / model.dt))
+        self.Nx, self.Nu = model.Nx, model.Nu
+        dtype = dtype or model.dtype
+        self.dtype = dtype
+
+        dm = discrete_method.lower()
+        if dm not in ("gp", "rk4", "exact", "hybrid"):
+            raise ValueError(f"unknown discrete_method {discrete_method!r}")
+        if dm in ("gp", "hybrid") and gp is None:
+            raise ValueError(f"discrete_method={dm!r} requires a GP")
+        self.discrete_method = dm
+        self.gp_method = gp_method.upper()
+        if gp is not None and gp.gp_method != self.gp_method:
+            gp.set_method(self.gp_method)
+        self.cost_func = costFunc
+        if costFunc not in ("quad", "sat"):
+            raise ValueError(f"unknown costFunc {costFunc!r}")
+        self.feedback = bool(feedback)
+        self.cov_updates = int(cov_updates)
+        self.include_noise_cov = bool(include_noise_cov)
+        self.sqp_cfg = SQPConfig(**(solver_opts or {}))
+
+        def mat(m, n, default_diag):
+            if m is None:
+                return default_diag * jnp.eye(n, dtype=dtype)
+            m = jnp.asarray(m, dtype)
+            return jnp.diag(m) if m.ndim == 1 else m
+
+        self.Q = mat(Q, self.Nx, 1.0)
+        self.P = mat(P, self.Nx, 0.0) if P is not None else self.Q * 10.0
+        self.R = mat(R, self.Nu, 0.01)
+        self.S = mat(S, self.Nu, 0.0) if S is not None else None
+        self.lam = float(lam)
+        # delta-u penalty -> augment the state with the previous input so the
+        # NLP stays stage-separable (Riccati-factorable)
+        self.aug = self.S is not None
+        self.Nxa = self.Nx + (self.Nu if self.aug else 0)
+
+        def vec(v, n, fill):
+            if v is None:
+                return jnp.full((n,), fill, dtype)
+            return jnp.asarray(v, dtype)
+
+        self.ulb = vec(ulb, self.Nu, -_BIG)
+        self.uub = vec(uub, self.Nu, _BIG)
+        self.xlb = vec(xlb, self.Nx, -_BIG)
+        self.xub = vec(xub, self.Nx, _BIG)
+        self.terminal_constraint = terminal_constraint
+        self.u_sp = vec(u_sp, self.Nu, 0.0)
+
+        # quantile for chance-constraint tightening: Phi^{-1}(percentile)
+        # via ndtri — the on-device analog of the reference's
+        # scipy.stats.norm.ppf [SURVEY C6 'chance-constraint tightening']
+        if percentile is not None:
+            self.quantile = float(jax.scipy.special.ndtri(
+                jnp.asarray(percentile, jnp.float64 if dtype == jnp.float64
+                            else jnp.float32)))
+        else:
+            self.quantile = 0.0
+        self.percentile = percentile
+
+        # hybrid: GP models residuals on dims selected by Bd (Nx, Ny_gp)
+        # [SURVEY C6 'hybrid' discrete method, conf. M]
+        if hybrid_Bd is not None:
+            self.Bd = jnp.asarray(hybrid_Bd, dtype)
+        elif dm == "hybrid":
+            if gp.Ny != self.Nx:
+                raise ValueError("hybrid without Bd requires gp.Ny == Nx")
+            self.Bd = jnp.eye(self.Nx, dtype=dtype)
+        else:
+            self.Bd = None
+
+        # user constraints: probe once for the static constraint count
+        self.user_ineq = inequality_constraints
+        self.num_con_par = int(num_con_par)
+        if inequality_constraints is not None:
+            probe = inequality_constraints(
+                jnp.zeros(self.Nx, dtype), jnp.zeros((self.Nx, self.Nx), dtype),
+                jnp.zeros(self.Nu, dtype), jnp.zeros(self.num_con_par, dtype))
+            self.num_user_con = int(np.asarray(probe).shape[0])
+        else:
+            self.num_user_con = 0
+
+        # feedback gain from discrete LQR at the operating point
+        # [SURVEY C6 'linear state feedback', §3.3 lqr helper]
+        if self.feedback:
+            ox = jnp.asarray(op_x, dtype) if op_x is not None else \
+                jnp.zeros(self.Nx, dtype)
+            ou = jnp.asarray(op_u, dtype) if op_u is not None else \
+                jnp.zeros(self.Nu, dtype)
+            ad, bd = model.discrete_linearize(ox, ou)
+            self.K_fb = riccati.lqr_gain(ad, bd, self.Q, self.R)
+        else:
+            self.K_fb = jnp.zeros((self.Nu, self.Nx), dtype)
+
+        self._moment_map = gp.moment_map() if gp is not None else None
+        self._gp_mean = gp.mean_fn() if gp is not None else None
+        self._noise_cov = (gp.noise_cov() if (gp is not None and
+                                              include_noise_cov)
+                           else jnp.zeros((self.Nx, self.Nx), dtype))
+
+        # constraint scaling keeps AL penalties well-conditioned when some
+        # bounds are "infinite" (large finite placeholders)
+        self._x_scale = jnp.where(self.xub - self.xlb < _BIG,
+                                  jnp.maximum(self.xub - self.xlb, 1e-6),
+                                  1.0)
+        self._u_scale = jnp.where(self.uub - self.ulb < _BIG,
+                                  jnp.maximum(self.uub - self.ulb, 1e-6),
+                                  1.0)
+
+        self._build_problem()
+        self._solve_step_jit = jax.jit(self._solve_step)
+        self._closed_loop_jit = jax.jit(
+            self._closed_loop, static_argnames=("n_steps", "noise"))
+        self._last_run = None
+
+    # ------------------------------------------------------------ dynamics
+
+    def _mean_dynamics(self, x, u):
+        """Discrete mean dynamics per ``discrete_method`` [SURVEY C6]."""
+        dm = self.discrete_method
+        if dm == "rk4":
+            return self.model.rk4(x, u)
+        if dm == "exact":
+            return self.model.integrate(x, u)
+        z = jnp.concatenate([x, u])
+        if dm == "gp":
+            return self._gp_mean(z)
+        # hybrid: known model + GP residual correction
+        return self.model.rk4(x, u) + self.Bd @ self._gp_mean(z)
+
+    def _cov_step(self, x, u, sigma):
+        """One-step covariance propagation (zero-order pass).
+
+        Builds the joint input covariance including feedback cross-terms
+        Sigma_u = K Sigma K' [SURVEY C6 'feedback'], then applies the
+        selected scheme.  ME carries no covariance [SURVEY §3.3 'ME: Sigma=0'].
+        """
+        k = self.K_fb
+        sk = sigma @ k.T                                  # delta-u = -K delta-x
+        sigma_z = jnp.block([[sigma, -sk],
+                             [-sk.T, k @ sigma @ k.T]])
+        z = jnp.concatenate([x, u])
+        dm = self.discrete_method
+
+        if dm in ("rk4", "exact"):
+            f = self.model.rk4 if dm == "rk4" else self.model.integrate
+            jx = jax.jacfwd(lambda xx: f(xx, u))(x)
+            ju = jax.jacfwd(lambda uu: f(x, uu))(u)
+            j = jnp.concatenate([jx, ju], axis=1)          # (Nx, Nx+Nu)
+            sig_n = j @ sigma_z @ j.T + self.model.R
+            return 0.5 * (sig_n + sig_n.T)
+
+        if dm == "gp":
+            if self.gp_method == "ME":
+                return jnp.zeros_like(sigma)
+            _, sig_y, _ = self._moment_map(z, sigma_z)
+            sig_n = sig_y + self._noise_cov
+            return 0.5 * (sig_n + sig_n.T)
+
+        # hybrid: linearized known part + GP residual part + cross terms
+        jx = jax.jacfwd(lambda xx: self.model.rk4(xx, u))(x)
+        ju = jax.jacfwd(lambda uu: self.model.rk4(x, uu))(u)
+        j = jnp.concatenate([jx, ju], axis=1)
+        _, sig_y, c_zy = self._moment_map(z, sigma_z)
+        bd = self.Bd
+        cross = j @ c_zy @ bd.T
+        sig_n = (j @ sigma_z @ j.T + bd @ sig_y @ bd.T
+                 + cross + cross.T + self._noise_cov)
+        return 0.5 * (sig_n + sig_n.T)
+
+    def propagate_covariances(self, xs, us, sigma0):
+        """Scan Sigma_t along a nominal trajectory -> (Nt+1, Nx, Nx)
+        [SURVEY §3.3 'covariance propagation alongside the mean']."""
+        def step(sig, xu):
+            x, u = xu
+            return self._cov_step(x, u, sig), sig
+
+        sig_last, sigmas = jax.lax.scan(
+            step, sigma0, (xs[:-1, :self.Nx], us))
+        return jnp.concatenate([sigmas, sig_last[None]], axis=0)
+
+    # ------------------------------------------------------------ NLP spec
+
+    def _split(self, xa):
+        """Augmented state -> (physical state, previous input)."""
+        if self.aug:
+            return xa[:self.Nx], xa[self.Nx:]
+        return xa, None
+
+    def _build_problem(self):
+        nx, nu, nt = self.Nx, self.Nu, self.Nt
+
+        def dynamics(xa, u, t, params: MPCParams):
+            x, _ = self._split(xa)
+            xn = self._mean_dynamics(x, u)
+            return jnp.concatenate([xn, u]) if self.aug else xn
+
+        def stage_cost(xa, u, t, params: MPCParams):
+            x, u_prev = self._split(xa)
+            sig = params.sigmas[t]
+            if self.cost_func == "quad":
+                c = cost_lib.expected_quadratic(x, sig, params.x_sp, self.Q)
+            else:
+                c = cost_lib.expected_saturating(x, sig, params.x_sp, self.Q)
+            du_sp = u - self.u_sp
+            c = c + du_sp @ self.R @ du_sp
+            if self.aug:
+                dd = u - u_prev
+                c = c + dd @ self.S @ dd
+            return c
+
+        def terminal_cost(xa, params: MPCParams):
+            x, _ = self._split(xa)
+            sig = params.sigmas[nt]
+            w = self.P
+            if self.cost_func == "quad":
+                return cost_lib.expected_quadratic(x, sig, params.x_sp, w)
+            return cost_lib.expected_saturating(x, sig, params.x_sp, w)
+
+        def stage_ineq(xa, u, t, params: MPCParams):
+            x, _ = self._split(xa)
+            mx = params.margins_x[t]
+            mu_m = params.margins_u[t]
+            g = [
+                (x - (self.xub - mx)) / self._x_scale,
+                ((self.xlb + mx) - x) / self._x_scale,
+                (u - (self.uub - mu_m)) / self._u_scale,
+                ((self.ulb + mu_m) - u) / self._u_scale,
+            ]
+            if self.user_ineq is not None:
+                g.append(self.user_ineq(x, params.sigmas[t], u,
+                                        params.con_par))
+            return jnp.concatenate(g)
+
+        def terminal_ineq(xa, params: MPCParams):
+            x, _ = self._split(xa)
+            mx = params.margins_x[nt]
+            g = [
+                (x - (self.xub - mx)) / self._x_scale,
+                ((self.xlb + mx) - x) / self._x_scale,
+            ]
+            if self.terminal_constraint is not None:
+                # ||x_N - x_sp||^2 <= terminal_constraint [SURVEY C6, conf. M]
+                e = x - params.x_sp
+                g.append(jnp.array([e @ e - self.terminal_constraint]))
+            return jnp.concatenate(g)
+
+        n_ineq = 2 * nx + 2 * nu + self.num_user_con
+        n_term = 2 * nx + (1 if self.terminal_constraint is not None else 0)
+        # input-iterate safeguard: half a box-width beyond the bounds
+        pad = 0.5 * jnp.where(self.uub - self.ulb < _BIG,
+                              self.uub - self.ulb, _BIG)
+        self.problem = al_sqp.TrajectoryProblem(
+            nx=self.Nxa, nu=nu, horizon=nt,
+            dynamics=dynamics, stage_cost=stage_cost,
+            terminal_cost=terminal_cost,
+            stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
+            n_ineq=n_ineq, n_term_ineq=n_term,
+            u_guard_lo=self.ulb - pad, u_guard_hi=self.uub + pad)
+
+    def _margins(self, sigmas):
+        """Chance tightening: Phi^{-1}(p) * sqrt(diag Sigma_t), clamped so
+        tightened boxes cannot cross [SURVEY C6]."""
+        if self.percentile is None:
+            mx = jnp.zeros((self.Nt + 1, self.Nx), self.dtype)
+            mu_m = jnp.zeros((self.Nt, self.Nu), self.dtype)
+            return mx, mu_m
+        dx = jnp.sqrt(jnp.clip(jax.vmap(jnp.diagonal)(sigmas), 0.0, None))
+        mx = self.quantile * dx
+        box = self.xub - self.xlb
+        mx = jnp.minimum(mx, 0.49 * jnp.where(box < _BIG, box, _BIG))
+        # input tightening from Sigma_u = K Sigma K' (feedback only)
+        k = self.K_fb
+        sig_u = jax.vmap(lambda s: k @ s @ k.T)(sigmas[:-1])
+        du = jnp.sqrt(jnp.clip(jax.vmap(jnp.diagonal)(sig_u), 0.0, None))
+        mu_m = self.quantile * du
+        ubox = self.uub - self.ulb
+        mu_m = jnp.minimum(mu_m, 0.49 * jnp.where(ubox < _BIG, ubox, _BIG))
+        return mx, mu_m
+
+    # ------------------------------------------------------------ solving
+
+    def _augment_x0(self, x0, u_prev):
+        return jnp.concatenate([x0, u_prev]) if self.aug else x0
+
+    def _solve_step(self, warm: al_sqp.SolverState, x0, x_sp, u_prev,
+                    sigma0, con_par):
+        """One MPC solve: zero-order covariance refresh passes around the
+        AL-SQP [SURVEY §3.4 per-step body, minus the host round-trips]."""
+        x0a = self._augment_x0(x0, u_prev)
+        state = al_sqp.shift_state(warm, x0a)
+        sigmas = self.propagate_covariances(state.x, state.u, sigma0)
+        result = None
+        for _ in range(max(self.cov_updates, 1)):
+            mx, mu_m = self._margins(sigmas)
+            params = MPCParams(x0=x0, x_sp=x_sp, u_prev=u_prev,
+                               margins_x=mx, margins_u=mu_m,
+                               sigmas=sigmas, con_par=con_par)
+            result = al_sqp.solve(self.problem, params, state, self.sqp_cfg)
+            state = result.state
+            sigmas = self.propagate_covariances(state.x, state.u, sigma0)
+        info = StepInfo(obj=result.obj, defect=result.defect,
+                        con_viol=result.con_viol, iters=result.iters,
+                        converged=result.converged)
+        return state, state.u[0], sigmas, info
+
+    def _init_warm(self, x0a, x_sp, u_init=None):
+        return al_sqp.init_state(self.problem, x0a,
+                                 params=self._dummy_params(x0a, x_sp),
+                                 u_init=u_init)
+
+    def solve_step(self, x0, x_sp, warm=None, u_prev=None, sigma0=None,
+                   con_par=None):
+        """Single receding-horizon step (jitted); returns
+        ``(u0, warm_state, sigmas, info)`` — for driving a real plant
+        externally while keeping the solve on device."""
+        x0 = jnp.asarray(x0, self.dtype)
+        x_sp = jnp.asarray(x_sp, self.dtype)
+        if u_prev is None:
+            u_prev = jnp.zeros(self.Nu, self.dtype)
+        if warm is None:
+            warm = self._init_warm(self._augment_x0(x0, u_prev), x_sp)
+        if sigma0 is None:
+            sigma0 = jnp.zeros((self.Nx, self.Nx), self.dtype)
+        if con_par is None:
+            con_par = jnp.zeros(self.num_con_par, self.dtype)
+        state, u0, sigmas, info = self._solve_step_jit(
+            warm, x0, x_sp, u_prev, sigma0, con_par)
+        return u0, state, sigmas, info
+
+    def _dummy_params(self, x0a, x_sp):
+        return MPCParams(
+            x0=x0a[:self.Nx], x_sp=x_sp,
+            u_prev=jnp.zeros(self.Nu, self.dtype),
+            margins_x=jnp.zeros((self.Nt + 1, self.Nx), self.dtype),
+            margins_u=jnp.zeros((self.Nt, self.Nu), self.dtype),
+            sigmas=jnp.zeros((self.Nt + 1, self.Nx, self.Nx), self.dtype),
+            con_par=jnp.zeros(self.num_con_par, self.dtype))
+
+    # ------------------------------------------------------------ closed loop
+
+    def _closed_loop(self, x0, x_sp, u0_guess, con_pars, noise_w, n_steps,
+                     noise):
+        """The fused receding-horizon loop: one ``lax.scan`` over control
+        steps — solve, apply u0* to the plant, shift, repeat
+        [SURVEY §3.4; BASELINE 'zero host round-trips']."""
+        u_start = jnp.zeros(self.Nu, self.dtype)
+        warm = self._init_warm(self._augment_x0(x0, u_start), x_sp, u0_guess)
+        sigma0 = jnp.zeros((self.Nx, self.Nx), self.dtype)
+
+        def step(carry, inp):
+            x, warm, u_prev = carry
+            con_par, w = inp
+            warm, u_cmd, sigmas, info = self._solve_step(
+                warm, x, x_sp, u_prev, sigma0, con_par)
+            # physical actuator saturation: the plant can only receive inputs
+            # inside the hard box, whatever the solver's residual violation
+            u_cmd = jnp.clip(u_cmd, self.ulb, self.uub)
+            x_next = self.model.integrate(x, u_cmd)
+            if noise:
+                x_next = x_next + w
+            if self.model.clip_negative:
+                x_next = jnp.maximum(x_next, 0.0)
+            out = (x, u_cmd, sigmas[1, :self.Nx, :self.Nx], info)
+            return (x_next, warm, u_cmd), out
+
+        (x_last, _, _), (xs, us, sig1s, infos) = jax.lax.scan(
+            step, (x0, warm, u_start), (con_pars, noise_w), length=n_steps)
+        xs = jnp.concatenate([xs, x_last[None]], axis=0)
+        return xs, us, sig1s, infos
+
+    def solve(self, x0, sim_time, x_sp, u0=None, noise: bool = True,
+              con_par_func: Optional[Callable] = None,
+              key: Optional[jax.Array] = None):
+        """Closed-loop receding-horizon simulation [SURVEY C6 ``MPC.solve``].
+
+        Returns ``(x_sim (M+1, Nx), u_sim (M, Nu))`` like the reference;
+        per-step diagnostics and predicted covariances are stored for
+        ``plot()`` and available via ``last_run``.
+        """
+        n_steps = int(round(sim_time / self.dt))
+        x0 = jnp.asarray(x0, self.dtype)
+        x_sp = jnp.asarray(x_sp, self.dtype)
+        u0_guess = (jnp.tile(jnp.asarray(u0, self.dtype)[None], (self.Nt, 1))
+                    if u0 is not None else None)
+
+        # host-side precompute of per-step user-constraint parameters
+        # (the reference calls con_par_func(k) per step [SURVEY C6])
+        if con_par_func is not None:
+            con_pars = jnp.asarray(
+                np.stack([np.asarray(con_par_func(k), dtype=np.float64)
+                          for k in range(n_steps)]), self.dtype)
+            con_pars = con_pars.reshape(n_steps, self.num_con_par)
+        else:
+            con_pars = jnp.zeros((n_steps, self.num_con_par), self.dtype)
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        chol_r = jnp.linalg.cholesky(
+            self.model.R + 1e-32 * jnp.eye(self.Nx, dtype=self.dtype))
+        noise_w = (jax.random.normal(key, (n_steps, self.Nx), self.dtype)
+                   @ chol_r.T)
+
+        t_start = time.perf_counter()
+        xs, us, sig1s, infos = self._closed_loop_jit(
+            x0, x_sp, u0_guess, con_pars, noise_w,
+            n_steps=n_steps, noise=noise)
+        xs.block_until_ready()
+        wall = time.perf_counter() - t_start
+
+        self._last_run = {
+            "x_sim": np.asarray(xs), "u_sim": np.asarray(us),
+            "sigmas": np.asarray(sig1s),
+            "obj": np.asarray(infos.obj),
+            "defect": np.asarray(infos.defect),
+            "con_viol": np.asarray(infos.con_viol),
+            "iters": np.asarray(infos.iters),
+            "converged": np.asarray(infos.converged),
+            "x_sp": np.asarray(x_sp),
+            "wall_time_total": wall,
+            "wall_time_per_step": wall / max(n_steps, 1),
+        }
+        return xs, us
+
+    @property
+    def last_run(self):
+        return self._last_run
+
+    # ------------------------------------------------------------ plotting
+
+    def plot(self, filename: Optional[str] = None, show: bool = False):
+        """Closed-loop states/inputs with constraint lines and +/-2sigma
+        prediction bands [SURVEY C6 'plotting']; host-side matplotlib."""
+        if self._last_run is None:
+            raise RuntimeError("nothing to plot — call solve() first")
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        r = self._last_run
+        xs, us, sig = r["x_sim"], r["u_sim"], r["sigmas"]
+        t_x = np.arange(xs.shape[0]) * self.dt
+        t_u = np.arange(us.shape[0]) * self.dt
+        fig, axes = plt.subplots(self.Nx + self.Nu, 1, sharex=True,
+                                 figsize=(8, 2.2 * (self.Nx + self.Nu)))
+        axes = np.atleast_1d(axes)
+        for i in range(self.Nx):
+            ax = axes[i]
+            ax.plot(t_x, xs[:, i], label=f"x{i}")
+            std = np.sqrt(np.maximum(sig[:, i, i], 0.0))
+            ax.fill_between(t_u + self.dt, xs[1:, i] - 2 * std,
+                            xs[1:, i] + 2 * std, alpha=0.2,
+                            label="±2σ (predicted)")
+            if float(self.xub[i]) < _BIG:
+                ax.axhline(float(self.xub[i]), ls="--", c="r", lw=0.8)
+            if float(self.xlb[i]) > -_BIG:
+                ax.axhline(float(self.xlb[i]), ls="--", c="r", lw=0.8)
+            ax.axhline(float(r["x_sp"][i]), ls=":", c="g", lw=0.8)
+            ax.legend(loc="best", fontsize=7)
+        for j in range(self.Nu):
+            ax = axes[self.Nx + j]
+            ax.step(t_u, us[:, j], where="post", label=f"u{j}")
+            if float(self.uub[j]) < _BIG:
+                ax.axhline(float(self.uub[j]), ls="--", c="r", lw=0.8)
+            if float(self.ulb[j]) > -_BIG:
+                ax.axhline(float(self.ulb[j]), ls="--", c="r", lw=0.8)
+            ax.legend(loc="best", fontsize=7)
+        axes[-1].set_xlabel("time [s]")
+        fig.tight_layout()
+        if filename:
+            fig.savefig(filename, dpi=120)
+        if show:  # pragma: no cover
+            plt.show()
+        plt.close(fig)
+        return fig

@@ -1,0 +1,173 @@
+"""Batched closed-loop study: parallel receding-horizon rollouts with
+per-rollout online GP conditioning — BASELINE config 5.
+
+The reference is single-process and runs one rollout at a time in a Python
+loop [SURVEY §2.3 'DP: absent'].  Here the *entire* study is one compiled
+program: ``vmap`` over initial states batches every stage of every rollout's
+MPC solves into large fused array ops (the Ny-GP predictions, the stage
+Hessians, the Riccati sweeps all gain a 1024-wide leading batch axis —
+exactly the shape of work the TPU's MXU/VPU want), and the batch axis is
+sharded over a ``jax.sharding.Mesh`` so multi-chip scaling is a sharding
+annotation, not new code — XLA inserts the ICI collectives for the psum'd
+aggregate metrics [SURVEY §2.3 'TPU-native plan'].
+
+Each rollout carries its own :class:`OnlinePosterior` in the scan state and
+conditions it on every observed transition (O(C^2) bordered Cholesky
+updates), so the 1024 GP posteriors diverge as the rollouts explore.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpmpc_tpu.parallel import online_gp
+from gpmpc_tpu.solvers import al_sqp
+from gpmpc_tpu.utils.config import SQPConfig
+
+
+class StudyParams(NamedTuple):
+    x_sp: jnp.ndarray
+    post: online_gp.OnlinePosterior
+
+
+class StudyResult(NamedTuple):
+    x_traj: jnp.ndarray     # (B, n_steps+1, Nx)
+    u_traj: jnp.ndarray     # (B, n_steps, Nu)
+    cost: jnp.ndarray       # (B,) closed-loop quadratic cost per rollout
+    obj: jnp.ndarray        # (B, n_steps) NLP objectives
+    gp_points: jnp.ndarray  # (B,) final conditioning counts
+    mean_cost: jnp.ndarray  # () batch-mean cost (cross-device psum)
+
+
+class BatchedStudy:
+    """1024-rollout GP-MPC study harness.
+
+    ``run(x0s, x_sp, n_steps, key)`` executes all rollouts; if a mesh is
+    given the batch axis is sharded across its ``dp`` axis.
+    """
+
+    def __init__(self, model, gp, horizon: float,
+                 Q=None, R=None, ulb=None, uub=None,
+                 capacity: Optional[int] = None,
+                 condition_online: bool = True,
+                 solver_opts: Optional[dict] = None,
+                 mesh: Optional[Mesh] = None):
+        self.model = model
+        self.dt = model.dt
+        self.Nt = int(round(horizon / model.dt))
+        self.Nx, self.Nu = model.Nx, model.Nu
+        dtype = model.dtype
+        self.dtype = dtype
+        self.condition_online = bool(condition_online)
+
+        self.Q = jnp.asarray(Q if Q is not None else np.eye(self.Nx), dtype)
+        self.R = jnp.asarray(R if R is not None else 0.01 * np.eye(self.Nu),
+                             dtype)
+        big = 1e10
+        self.ulb = jnp.asarray(ulb if ulb is not None
+                               else [-big] * self.Nu, dtype)
+        self.uub = jnp.asarray(uub if uub is not None
+                               else [big] * self.Nu, dtype)
+        self.sqp_cfg = SQPConfig(**(solver_opts or {"al_iters": 3,
+                                                    "max_iters": 15}))
+        self.mesh = mesh
+
+        cap = capacity or (gp.N + 64)
+        self.post0, self.norm = online_gp.from_gp(gp, cap)
+
+        norm = self.norm
+
+        def dynamics(x, u, t, params: StudyParams):
+            z = jnp.concatenate([x, u])
+            return online_gp.predict(params.post, norm, z)[0]
+
+        def stage_cost(x, u, t, params: StudyParams):
+            e = x - params.x_sp
+            return e @ self.Q @ e + u @ self.R @ u
+
+        def terminal_cost(x, params: StudyParams):
+            e = x - params.x_sp
+            return 10.0 * (e @ self.Q @ e)
+
+        u_scale = jnp.where(self.uub - self.ulb < big,
+                            jnp.maximum(self.uub - self.ulb, 1e-6), 1.0)
+
+        def stage_ineq(x, u, t, params: StudyParams):
+            return jnp.concatenate([(u - self.uub) / u_scale,
+                                    (self.ulb - u) / u_scale])
+
+        pad = 0.5 * jnp.where(self.uub - self.ulb < big,
+                              self.uub - self.ulb, big)
+        self.problem = al_sqp.TrajectoryProblem(
+            nx=self.Nx, nu=self.Nu, horizon=self.Nt,
+            dynamics=dynamics, stage_cost=stage_cost,
+            terminal_cost=terminal_cost,
+            stage_ineq=stage_ineq, n_ineq=2 * self.Nu,
+            u_guard_lo=self.ulb - pad, u_guard_hi=self.uub + pad)
+
+        self._run_jit = jax.jit(self._run, static_argnames=("n_steps",))
+
+    # ----------------------------------------------------------- rollouts
+
+    def _rollout(self, x0, x_sp, noise_w):
+        """One closed-loop rollout with online conditioning (lax.scan)."""
+        params0 = StudyParams(x_sp=x_sp, post=self.post0)
+        warm = al_sqp.init_state(self.problem, x0, params=params0)
+
+        def step(carry, w):
+            x, warm, post = carry
+            params = StudyParams(x_sp=x_sp, post=post)
+            state = al_sqp.shift_state(warm, x)
+            res = al_sqp.solve(self.problem, params, state, self.sqp_cfg)
+            u = jnp.clip(res.state.u[0], self.ulb, self.uub)
+            x_next = self.model.integrate(x, u) + w
+            if self.model.clip_negative:
+                x_next = jnp.maximum(x_next, 0.0)
+            if self.condition_online:
+                z = jnp.concatenate([x, u])
+                post = online_gp.condition(post, self.norm, z, x_next)
+            return (x_next, res.state, post), (x, u, res.obj)
+
+        (x_last, _, post), (xs, us, objs) = jax.lax.scan(
+            step, (x0, warm, self.post0), noise_w)
+        xs = jnp.concatenate([xs, x_last[None]], axis=0)
+        e = xs[:-1] - x_sp
+        cost = jnp.sum(jnp.einsum("ti,ij,tj->t", e, self.Q, e)
+                       + jnp.einsum("ti,ij,tj->t", us, self.R, us))
+        return xs, us, cost, objs, post.count
+
+    def _run(self, x0s, x_sp, noise_ws, n_steps):
+        xs, us, cost, objs, counts = jax.vmap(
+            lambda x0, w: self._rollout(x0, x_sp, w))(x0s, noise_ws)
+        # batch-mean metric: under a dp-sharded batch this lowers to a psum
+        # over the mesh (ICI collective)
+        mean_cost = jnp.mean(cost)
+        return StudyResult(x_traj=xs, u_traj=us, cost=cost, obj=objs,
+                           gp_points=counts, mean_cost=mean_cost)
+
+    def run(self, x0s, x_sp, n_steps: int,
+            key: Optional[jax.Array] = None,
+            noise: bool = True) -> StudyResult:
+        b = x0s.shape[0]
+        x0s = jnp.asarray(x0s, self.dtype)
+        x_sp = jnp.asarray(x_sp, self.dtype)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if noise:
+            chol_r = jnp.linalg.cholesky(
+                self.model.R + 1e-32 * jnp.eye(self.Nx, dtype=self.dtype))
+            noise_ws = jax.random.normal(
+                key, (b, n_steps, self.Nx), self.dtype) @ chol_r.T
+        else:
+            noise_ws = jnp.zeros((b, n_steps, self.Nx), self.dtype)
+
+        if self.mesh is not None:
+            dp = NamedSharding(self.mesh, P("dp"))
+            x0s = jax.device_put(x0s, dp)
+            noise_ws = jax.device_put(noise_ws, dp)
+        return self._run_jit(x0s, x_sp, noise_ws, n_steps=n_steps)

@@ -64,6 +64,14 @@ class TrajectoryProblem:
     terminal_ineq: Optional[Callable] = None
     n_ineq: int = 0
     n_term_ineq: int = 0
+    # Optional safeguard box for input iterates: candidate U is projected
+    # into [u_guard_lo, u_guard_hi] before evaluation.  Set this slightly
+    # wider than the physical input bounds; it keeps Gauss-Newton steps from
+    # evaluating the dynamics at absurd inputs (e.g. tan(steering) wrapping
+    # past pi/2) when warm-start defects are large.  A minimizer satisfying
+    # the actual bound constraints is unaffected.
+    u_guard_lo: Optional[jnp.ndarray] = None
+    u_guard_hi: Optional[jnp.ndarray] = None
 
 
 class SolverState(NamedTuple):
@@ -234,8 +242,11 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
             merit0, _ = _merit(prob, state, params, mu, nu_new)
 
             def try_alpha(alpha):
+                u_new = state.u + alpha * sol.du
+                if prob.u_guard_lo is not None:
+                    u_new = jnp.clip(u_new, prob.u_guard_lo, prob.u_guard_hi)
                 cand = SolverState(x=state.x + alpha * sol.dx,
-                                   u=state.u + alpha * sol.du,
+                                   u=u_new,
                                    lam=state.lam, lam_term=state.lam_term)
                 m, _ = _merit(prob, cand, params, mu, nu_new)
                 return cand, m
@@ -276,15 +287,16 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
             inner_cond, inner_body_factory(mu), inner_carry)
 
         # multiplier update: lam <- max(0, lam + mu g)
+        lam_cap = 1e10  # keep multipliers finite under pathological iterates
         if prob.n_ineq:
             g = jax.vmap(lambda x, u, t: prob.stage_ineq(x, u, t, params))(
                 state.x[:-1], state.u, jnp.arange(prob.horizon))
-            lam = jnp.maximum(0.0, state.lam + mu * g)
+            lam = jnp.clip(state.lam + mu * g, 0.0, lam_cap)
         else:
             lam = state.lam
         if prob.n_term_ineq:
             gt = prob.terminal_ineq(state.x[-1], params)
-            lam_term = jnp.maximum(0.0, state.lam_term + mu * gt)
+            lam_term = jnp.clip(state.lam_term + mu * gt, 0.0, lam_cap)
         else:
             lam_term = state.lam_term
         state = SolverState(x=state.x, u=state.u, lam=lam, lam_term=lam_term)

@@ -46,8 +46,8 @@ class SQPConfig:
     friendly, bounded iteration semantics).
     """
 
-    max_iters: int = 30             # total inner GN/SQP iterations
-    al_iters: int = 4               # outer multiplier/penalty updates
+    max_iters: int = 30             # inner GN/SQP iterations per AL round
+    al_iters: int = 6               # outer multiplier/penalty updates
     penalty_init: float = 10.0
     penalty_mult: float = 10.0
     penalty_max: float = 1e8

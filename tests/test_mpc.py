@@ -1,0 +1,161 @@
+"""End-to-end MPC tests on the four-tank process (SURVEY configs 2-3).
+
+Small sizes (short horizons, few GP points) keep CPU compile times sane;
+the full-size configs run in examples/ and bench.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpmpc_tpu import GP, MPC, Model
+from gpmpc_tpu.systems import four_tank_ode
+
+DT = 3.0
+X_SS = np.array([12.4, 12.7, 1.8, 1.4])
+U_SS = np.array([3.0, 3.0])
+
+
+@pytest.fixture(scope="module")
+def tank_model():
+    R = np.diag([1e-3] * 4)
+    return Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
+                 R=R, clip_negative=True, dtype=jnp.float64,
+                 integrator_substeps=10)
+
+
+@pytest.fixture(scope="module")
+def tank_gp(tank_model):
+    X, Y = tank_model.generate_training_data(
+        60, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(2))
+    return GP(X, Y, mean_func="zero", gp_method="TA", multistart=2,
+              max_iters=150, seed=1)
+
+
+def test_gp_learns_tank_dynamics(tank_model, tank_gp):
+    """Trained GP predicts held-out one-step transitions (SMSE bar)."""
+    Xt, Yt = tank_model.generate_training_data(
+        100, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        noise=False, key=jax.random.PRNGKey(9))
+    smse, mnlp = tank_gp.validate(Xt, Yt, verbose=False)
+    assert np.all(smse < 0.1), f"SMSE too high: {smse}"
+
+
+def test_mpc_rk4_reaches_setpoint(tank_model):
+    """Known-model MPC (discrete_method='rk4', no GP) regulates the tanks to
+    the setpoint under box constraints [SURVEY C6 'rk4' mode]."""
+    mpc = MPC(horizon=5 * DT, model=tank_model, gp=None, gp_method="ME",
+              discrete_method="rk4",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              xlb=[0.5, 0.5, 0.1, 0.1], xub=[25.0, 25.0, 8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1)
+    xs, us = mpc.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]), sim_time=12 * DT,
+                       x_sp=X_SS, noise=False)
+    xs = np.asarray(xs)
+    err = np.abs(xs[-1, :2] - X_SS[:2])
+    assert np.all(err < 0.5), f"final level error {err}"
+    us = np.asarray(us)
+    assert us.min() >= -1e-6 and us.max() <= 8.0 + 1e-6
+    assert np.all(mpc.last_run["defect"] < 1e-6)
+
+
+def test_mpc_gp_me_tracks(tank_model, tank_gp):
+    """Config 2: GP dynamics, mean-equivalent propagation, box constraints."""
+    mpc = MPC(horizon=5 * DT, model=tank_model, gp=tank_gp, gp_method="ME",
+              discrete_method="gp",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1)
+    xs, us = mpc.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]), sim_time=12 * DT,
+                       x_sp=X_SS, noise=False)
+    xs = np.asarray(xs)
+    err = np.abs(xs[-1, :2] - X_SS[:2])
+    # GP model error limits accuracy; must still converge near the setpoint
+    assert np.all(err < 1.5), f"final level error {err}"
+
+
+def test_mpc_gp_ta_chance_constraints(tank_model, tank_gp):
+    """Config 3: Taylor covariance propagation + chance tightening — the
+    tightened runs must keep a larger safety margin from the bound than the
+    untightened one (monotonicity property, SURVEY §4)."""
+    kwargs = dict(
+        horizon=5 * DT, model=tank_model, gp=tank_gp,
+        discrete_method="gp",
+        Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+        ulb=[0.0, 0.0], uub=[8.0, 8.0],
+        xlb=[0.5, 0.5, 0.1, 0.1], xub=[13.0, 25.0, 8.0, 8.0],
+        feedback=True, cov_updates=2)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    # setpoint near the h1 upper bound so tightening visibly bites
+    x_sp = np.array([12.8, 12.7, 1.8, 1.4])
+
+    mpc_plain = MPC(gp_method="TA", percentile=None, **kwargs)
+    xs_plain, _ = mpc_plain.solve(x0=x0, sim_time=10 * DT, x_sp=x_sp,
+                                  noise=False)
+    mpc_tight = MPC(gp_method="TA", percentile=0.99, **kwargs)
+    xs_tight, _ = mpc_tight.solve(x0=x0, sim_time=10 * DT, x_sp=x_sp,
+                                  noise=False)
+
+    h1_plain = float(np.max(np.asarray(xs_plain)[:, 0]))
+    h1_tight = float(np.max(np.asarray(xs_tight)[:, 0]))
+    assert h1_tight <= 13.0 + 1e-6
+    assert h1_tight < h1_plain + 1e-9, (
+        f"tightening did not increase margin: {h1_tight} vs {h1_plain}")
+    # propagated covariances are PSD along the rollout (SURVEY §4 property)
+    sig = mpc_tight.last_run["sigmas"]
+    eigs = np.linalg.eigvalsh(sig)
+    assert eigs.min() > -1e-9
+
+
+def test_mpc_hybrid_and_exact_modes(tank_model, tank_gp):
+    """'hybrid' (model + GP residual) and 'exact' discretizations build and
+    run [SURVEY C6 discrete_method set]."""
+    for dm in ("hybrid", "exact"):
+        mpc = MPC(horizon=4 * DT, model=tank_model, gp=tank_gp,
+                  gp_method="TA", discrete_method=dm,
+                  Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+                  ulb=[0.0, 0.0], uub=[8.0, 8.0],
+                  feedback=False, percentile=None, cov_updates=1)
+        xs, us = mpc.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]),
+                           sim_time=4 * DT, x_sp=X_SS, noise=False)
+        assert np.all(np.isfinite(np.asarray(xs)))
+
+
+def test_mpc_saturating_cost_and_delta_u(tank_model):
+    """costFunc='sat' + delta-u penalty S (state augmentation path)."""
+    mpc = MPC(horizon=4 * DT, model=tank_model, gp=None,
+              discrete_method="rk4", costFunc="sat",
+              Q=np.diag([0.05, 0.05, 0.01, 0.01]), R=0.001 * np.eye(2),
+              S=0.1 * np.eye(2), u_sp=U_SS,
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1)
+    xs, us = mpc.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]), sim_time=8 * DT,
+                       x_sp=X_SS, noise=False)
+    xs, us = np.asarray(xs), np.asarray(us)
+    assert np.all(np.isfinite(xs))
+    # delta-u penalty produces smoother input sequences
+    assert np.max(np.abs(np.diff(us, axis=0))) < 6.0
+    # still makes progress toward the setpoint
+    assert (np.abs(xs[-1, :2] - X_SS[:2]).max()
+            < np.abs(xs[0, :2] - X_SS[:2]).max())
+
+
+def test_solve_step_standalone(tank_model):
+    """solve_step drives an external plant loop (warm-started)."""
+    mpc = MPC(horizon=4 * DT, model=tank_model, gp=None,
+              discrete_method="rk4",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1)
+    x = jnp.array([8.0, 9.0, 1.0, 1.0])
+    warm, u_prev = None, None
+    for _ in range(3):
+        u0, warm, sigmas, info = mpc.solve_step(x, X_SS, warm=warm,
+                                                u_prev=u_prev)
+        x = tank_model.integrate(x, u0)
+        u_prev = u0
+    assert np.all(np.isfinite(np.asarray(x)))

@@ -1,0 +1,135 @@
+"""Online GP conditioning + batched study tests (BASELINE config 5).
+
+Device-parity strategy (SURVEY §4): vmap-of-1 == unbatched; sharded runs on
+the 8-device virtual CPU mesh must match unsharded results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gpmpc_tpu import GP, Model
+from gpmpc_tpu.models import gp_core
+from gpmpc_tpu.parallel import online_gp
+from gpmpc_tpu.parallel.batched import BatchedStudy
+from gpmpc_tpu.systems import four_tank_ode
+from gpmpc_tpu.utils.config import GPConfig
+
+RNG = np.random.default_rng(5)
+
+
+def _small_gp(n=20, d=3, ny=2):
+    x = RNG.uniform(-2, 2, size=(n, d))
+    y = np.stack([np.sin(x @ np.ones(d)), np.cos(x @ np.ones(d))],
+                 axis=1)[:, :ny]
+    hyper = gp_core.GPHypers(
+        log_ell=jnp.zeros((ny, d)), log_sf2=jnp.zeros(ny),
+        log_sn2=jnp.full(ny, -4.0), mean_w=jnp.zeros((ny, 0)))
+    return GP(x, y, hyper=hyper, normalize=True,
+              optimizer_opts=dict(min_noise=0.0, jitter=0.0))
+
+
+def test_padded_posterior_matches_unpadded():
+    gp = _small_gp()
+    post, norm = online_gp.from_gp(gp, capacity=32)
+    z = RNG.standard_normal(3)
+    mu_ref, var_ref = gp.predict(z)
+    mu, var = online_gp.predict(post, norm, jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               atol=1e-9)
+
+
+def test_condition_matches_batch_retrain():
+    """Sequentially conditioning on k new points must equal building the
+    posterior from scratch on the union data (same hypers)."""
+    gp = _small_gp(n=15)
+    post, norm = online_gp.from_gp(gp, capacity=32)
+
+    new_z = RNG.uniform(-2, 2, size=(4, 3))
+    new_y = np.stack([np.sin(new_z @ np.ones(3)),
+                      np.cos(new_z @ np.ones(3))], axis=1)
+    for z, y in zip(new_z, new_y):
+        post = online_gp.condition(post, norm, jnp.asarray(z),
+                                   jnp.asarray(y))
+    assert int(post.count) == 19
+
+    # reference: fresh GP on the union with identical hypers
+    x_all = np.concatenate([np.asarray(gp.X_raw), new_z])
+    y_all = np.concatenate([np.asarray(gp.Y_raw), new_y])
+    xn_all = (x_all - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+    yn_all = (y_all - np.asarray(norm.y_mean)) / np.asarray(norm.y_std)
+    cfg = GPConfig(min_noise=0.0, jitter=0.0)
+    ref_post = gp_core.posterior(jnp.asarray(xn_all), jnp.asarray(yn_all),
+                                 gp.hyper, cfg)
+
+    zq = RNG.standard_normal(3)
+    mu, var = online_gp.predict(post, norm, jnp.asarray(zq))
+    zqn = (zq - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+    mu_n, var_n = gp_core.predict(ref_post, jnp.asarray(zqn), cfg)
+    mu_ref = np.asarray(norm.y_mean) + np.asarray(norm.y_std) * np.asarray(mu_n)
+    var_ref = np.asarray(norm.y_std) ** 2 * np.asarray(var_n)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-8)
+
+
+def test_condition_saturates_at_capacity():
+    gp = _small_gp(n=15)
+    post, norm = online_gp.from_gp(gp, capacity=16)
+    z = jnp.zeros(3)
+    y = jnp.zeros(2)
+    post = online_gp.condition(post, norm, z, y)   # 16 -> full
+    post = online_gp.condition(post, norm, z, y)   # dropped
+    assert int(post.count) == 16
+    assert np.all(np.isfinite(np.asarray(post.chol)))
+
+
+def _tank_study(mesh=None, condition_online=True):
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=3.0,
+                  R=np.diag([1e-3] * 4), clip_negative=True,
+                  dtype=jnp.float64, integrator_substeps=5)
+    X, Y = model.generate_training_data(
+        30, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(2))
+    gp = GP(X, Y, multistart=1, max_iters=80, seed=1)
+    return BatchedStudy(
+        model, gp, horizon=3 * 3.0,
+        Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+        ulb=[0.0, 0.0], uub=[8.0, 8.0], capacity=48,
+        condition_online=condition_online, mesh=mesh)
+
+
+def test_vmap_of_one_equals_unbatched():
+    study = _tank_study()
+    x0 = np.array([[8.0, 9.0, 1.0, 1.0]])
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    r1 = study.run(x0, x_sp, n_steps=3, noise=False)
+    r2 = study.run(np.tile(x0, (4, 1)), x_sp, n_steps=3, noise=False)
+    np.testing.assert_allclose(np.asarray(r1.x_traj[0]),
+                               np.asarray(r2.x_traj[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2.x_traj[0]),
+                               np.asarray(r2.x_traj[3]), atol=1e-12)
+
+
+def test_sharded_study_matches_unsharded():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs[:8]), axis_names=("dp",))
+    study_sharded = _tank_study(mesh=mesh)
+    study_plain = _tank_study(mesh=None)
+    b = 8
+    x0s = np.tile(np.array([8.0, 9.0, 1.0, 1.0]), (b, 1))
+    x0s = x0s + 0.2 * RNG.standard_normal((b, 4))
+    x0s = np.clip(x0s, 1.0, None)
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    r_sh = study_sharded.run(x0s, x_sp, n_steps=3, noise=False)
+    r_pl = study_plain.run(x0s, x_sp, n_steps=3, noise=False)
+    np.testing.assert_allclose(np.asarray(r_sh.x_traj),
+                               np.asarray(r_pl.x_traj), atol=1e-10)
+    # cross-device psum reassociates the reduction; bitwise equality is not
+    # expected, 1e-9 relative is
+    np.testing.assert_allclose(float(r_sh.mean_cost), float(r_pl.mean_cost),
+                               rtol=1e-9)
+    # online conditioning actually grew the per-rollout data sets
+    assert np.all(np.asarray(r_sh.gp_points) == 30 + 3)
