@@ -27,6 +27,15 @@ from gpmpc_tpu.models.mean_functions import num_mean_params
 from gpmpc_tpu.utils.config import GPConfig
 
 
+def mean_fn_functional(post: gp_core.GPPosterior, norm: Normalization,
+                       cfg: GPConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Raw-space predictive mean with the posterior as an explicit argument
+    (jit-boundary-safe on backends where captured constants are costly)."""
+    zn = (z - norm.z_mean) / norm.z_std
+    mu_n, _ = gp_core.predict(post, zn, cfg)
+    return norm.y_mean + norm.y_std * mu_n
+
+
 class GP:
     """Multi-output GP regressor: one independent SE-ARD GP per output dim.
 
@@ -101,19 +110,25 @@ class GP:
 
     def set_method(self, gp_method: str):
         """Select the propagation scheme and build the one-step moment map
-        ``(mu_z, Sigma_z) -> (mu_y, Sigma_y, C)`` [SURVEY C5 set_method]."""
+        ``(mu_z, Sigma_z) -> (mu_y, Sigma_y, C)`` [SURVEY C5 set_method].
+
+        The posterior/normalization arrays are passed as runtime ARGUMENTS
+        to the jitted kernel — captured array constants cost ~25 ms per call
+        on this TPU backend (re-uploaded each execution)."""
         self.gp_method = gp_method.upper()
         if self.gp_method == "EM" and self.cfg.mean_func != "zero":
             raise ValueError(
                 "exact moment matching (EM) requires mean_func='zero' "
                 "(PILCO closed forms assume a zero prior mean)")
         prop = get_propagator(self.gp_method)
-        post, norm, cfg = self.post, self.norm, self.cfg
+        cfg = self.cfg
+        jitted = jax.jit(lambda post, norm, mu_z, cov_z:
+                         prop(post, norm, cfg, mu_z, cov_z))
 
         def moment_map(mu_z, cov_z):
-            return prop(post, norm, cfg, mu_z, cov_z)
+            return jitted(self.post, self.norm, mu_z, cov_z)
 
-        self._moment_map = jax.jit(moment_map)
+        self._moment_map = moment_map
         return self._moment_map
 
     def predict(self, x, u=None, cov=None,
@@ -143,13 +158,14 @@ class GP:
 
     def mean_fn(self):
         """Raw-space predictive mean ``z -> (Ny,)`` for embedding as
-        deterministic dynamics and for linearization."""
+        deterministic dynamics and for linearization.  NOTE: closes over the
+        posterior — do not jit this closure directly on the TPU backend; use
+        :func:`mean_fn_functional` + explicit (post, norm) args in hot paths.
+        """
         post, norm, cfg = self.post, self.norm, self.cfg
 
         def f(z):
-            zn = (z - norm.z_mean) / norm.z_std
-            mu_n, _ = gp_core.predict(post, zn, cfg)
-            return norm.y_mean + norm.y_std * mu_n
+            return mean_fn_functional(post, norm, cfg, z)
 
         return f
 

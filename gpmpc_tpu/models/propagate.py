@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from gpmpc_tpu.models import gp_core
 from gpmpc_tpu.models.mean_functions import mean_value
 from gpmpc_tpu.ops.kernels import se_ard_cross
-from gpmpc_tpu.ops.chol import tri_solve
+from gpmpc_tpu.ops.chol import (chol_small, tri_solve_small,
+                                chol_logdet_small)
 from gpmpc_tpu.utils.config import GPConfig
 
 
@@ -125,18 +126,21 @@ def propagate_em(post: gp_core.GPPosterior, norm: Normalization,
     eye_d = jnp.eye(d, dtype=dtype)
 
     # ---- per-dim mean + cross-covariance --------------------------------
+    # NOTE: all small factorizations below use the trace-time-unrolled
+    # routines from ops.chol — batched LAPACK-style HLOs (vmapped cholesky /
+    # triangular_solve) are pathologically slow on this TPU backend.
     def per_dim(ell2_a, sf2_a, beta_a):
-        t = s + jnp.diag(ell2_a)                        # S + Lambda_a
-        lt = jnp.linalg.cholesky(t)
+        t = s + jnp.diag(ell2_a)                        # S + Lambda_a (SPD)
+        lt = chol_small(t)
         # (S + Lam)^-1 nu_i for all i: solve with chol, (D, N)
-        sol = tri_solve(lt, nu.T)
+        sol = tri_solve_small(lt, nu.T)
         quad = jnp.sum(sol * sol, axis=0)               # nu^T T^-1 nu, (N,)
         # |S Lam^-1 + I|^{-1/2} = |Lam|^{1/2} |S + Lam|^{-1/2}
         logdet = (0.5 * jnp.sum(jnp.log(ell2_a))
-                  - jnp.sum(jnp.log(jnp.diagonal(lt))))
+                  - 0.5 * chol_logdet_small(lt))
         q = sf2_a * jnp.exp(logdet - 0.5 * quad)        # (N,)
         mu_a = jnp.dot(beta_a, q)
-        tinv_nu = tri_solve(lt, sol, trans=True)        # T^-1 nu_i, (D, N)
+        tinv_nu = tri_solve_small(lt, sol, trans=True)  # T^-1 nu_i, (D, N)
         c_a = (s @ tinv_nu) @ (beta_a * q)              # (D,)
         return mu_a, q, c_a
 
@@ -154,10 +158,16 @@ def propagate_em(post: gp_core.GPPosterior, norm: Normalization,
     def pair(a, b):
         il_a = 1.0 / ell2[a]                            # (D,)
         il_b = 1.0 / ell2[b]
-        r = s * (il_a + il_b)[None, :] + eye_d          # S P + I  (not symm)
-        # R^{-1} S is symmetric; factor via solve
-        ris = jnp.linalg.solve(r, s)                    # (D, D)
-        _, logdet_r = jnp.linalg.slogdet(r)
+        # R = S P + I with P = diag(il_a + il_b) is not symmetric; use the
+        # Woodbury form with M = I + sqrt(P) S sqrt(P) (SPD):
+        #   R^{-1} S = S - S sqrt(P) M^{-1} sqrt(P) S,   det R = det M.
+        dsq = jnp.sqrt(il_a + il_b)                     # (D,)
+        m = eye_d + dsq[:, None] * s * dsq[None, :]
+        lm = chol_small(m)
+        sd = s * dsq[None, :]                           # S sqrt(P), (D, D)
+        minv_sd = tri_solve_small(lm, tri_solve_small(lm, sd.T), trans=True)
+        ris = s - sd @ minv_sd                          # symmetric R^{-1} S
+        logdet_r = chol_logdet_small(lm)
         u = nu * il_a[None, :]                          # (N, D)
         v = nu * il_b[None, :]                          # (N, D)
         uu = jnp.sum((u @ ris) * u, axis=1)             # (N,)

@@ -28,6 +28,12 @@ fundamentally different execution model:
 * the delta-u penalty S is handled by state augmentation (the previous
   input rides in the state vector), keeping the NLP stage-separable so the
   Riccati sweep still factors the KKT system exactly.
+
+* EVERY array the NLP needs (GP posterior, weights, bounds, gains) is
+  threaded through the jit boundary as a runtime argument in
+  :class:`MPCConsts` — on this TPU backend a closed-over array constant is
+  re-uploaded on every executable call (~25 ms each, measured), so captured
+  buffers in the hot path are forbidden.
 """
 
 from __future__ import annotations
@@ -41,16 +47,41 @@ import numpy as np
 
 from gpmpc_tpu.mpc import costs as cost_lib
 from gpmpc_tpu.models.dynamics import Model
-from gpmpc_tpu.models.gp import GP
+from gpmpc_tpu.models.gp import GP, mean_fn_functional
+from gpmpc_tpu.models.propagate import get_propagator
 from gpmpc_tpu.solvers import al_sqp, riccati
 from gpmpc_tpu.utils.config import SQPConfig
 
 _BIG = 1e10
 
 
+class MPCConsts(NamedTuple):
+    """All device arrays the NLP reads, passed as one runtime argument."""
+
+    q: jnp.ndarray
+    p: jnp.ndarray
+    r: jnp.ndarray
+    s: Optional[jnp.ndarray]          # delta-u weight (None = no penalty)
+    u_sp: jnp.ndarray
+    xlb: jnp.ndarray
+    xub: jnp.ndarray
+    ulb: jnp.ndarray
+    uub: jnp.ndarray
+    x_scale: jnp.ndarray
+    u_scale: jnp.ndarray
+    u_guard_lo: jnp.ndarray
+    u_guard_hi: jnp.ndarray
+    k_fb: jnp.ndarray
+    noise_cov: jnp.ndarray
+    model_r: jnp.ndarray
+    bd: Optional[jnp.ndarray]         # hybrid residual selector
+    post: Optional[object]            # GPPosterior (pytree) or None
+    norm: Optional[object]            # Normalization (pytree) or None
+
+
 class MPCParams(NamedTuple):
     """Per-solve runtime parameters (the analog of the reference NLP's
-    parameter vector packed each step [SURVEY §3.4])."""
+    parameter vector packed each step [SURVEY §3.4]) + the constant arrays."""
 
     x0: jnp.ndarray          # (Nx,) current state
     x_sp: jnp.ndarray        # (Nx,) setpoint
@@ -59,6 +90,7 @@ class MPCParams(NamedTuple):
     margins_u: jnp.ndarray   # (Nt, Nu) tightening on input bounds (feedback)
     sigmas: jnp.ndarray      # (Nt+1, Nx, Nx) propagated covariances
     con_par: jnp.ndarray     # (num_con_par,) user-constraint parameters
+    consts: MPCConsts
 
 
 class StepInfo(NamedTuple):
@@ -126,6 +158,9 @@ class MPC:
         self.gp_method = gp_method.upper()
         if gp is not None and gp.gp_method != self.gp_method:
             gp.set_method(self.gp_method)
+        self._gp_cfg = gp.cfg if gp is not None else None
+        self._propagator = (get_propagator(self.gp_method)
+                            if gp is not None else None)
         self.cost_func = costFunc
         if costFunc not in ("quad", "sat"):
             raise ValueError(f"unknown costFunc {costFunc!r}")
@@ -207,20 +242,29 @@ class MPC:
         else:
             self.K_fb = jnp.zeros((self.Nu, self.Nx), dtype)
 
-        self._moment_map = gp.moment_map() if gp is not None else None
-        self._gp_mean = gp.mean_fn() if gp is not None else None
-        self._noise_cov = (gp.noise_cov() if (gp is not None and
-                                              include_noise_cov)
-                           else jnp.zeros((self.Nx, self.Nx), dtype))
+        noise_cov = (gp.noise_cov() if (gp is not None and include_noise_cov)
+                     else jnp.zeros((self.Nx, self.Nx), dtype))
 
         # constraint scaling keeps AL penalties well-conditioned when some
         # bounds are "infinite" (large finite placeholders)
-        self._x_scale = jnp.where(self.xub - self.xlb < _BIG,
-                                  jnp.maximum(self.xub - self.xlb, 1e-6),
-                                  1.0)
-        self._u_scale = jnp.where(self.uub - self.ulb < _BIG,
-                                  jnp.maximum(self.uub - self.ulb, 1e-6),
-                                  1.0)
+        x_scale = jnp.where(self.xub - self.xlb < _BIG,
+                            jnp.maximum(self.xub - self.xlb, 1e-6), 1.0)
+        u_scale = jnp.where(self.uub - self.ulb < _BIG,
+                            jnp.maximum(self.uub - self.ulb, 1e-6), 1.0)
+        pad = 0.5 * jnp.where(self.uub - self.ulb < _BIG,
+                              self.uub - self.ulb, _BIG)
+
+        self.consts = MPCConsts(
+            q=self.Q, p=self.P, r=self.R, s=self.S,
+            u_sp=self.u_sp, xlb=self.xlb, xub=self.xub,
+            ulb=self.ulb, uub=self.uub,
+            x_scale=x_scale, u_scale=u_scale,
+            u_guard_lo=self.ulb - pad, u_guard_hi=self.uub + pad,
+            k_fb=self.K_fb, noise_cov=noise_cov,
+            model_r=self.model.R,
+            bd=self.Bd,
+            post=gp.post if gp is not None else None,
+            norm=gp.norm if gp is not None else None)
 
         self._build_problem()
         self._solve_step_jit = jax.jit(self._solve_step)
@@ -230,7 +274,7 @@ class MPC:
 
     # ------------------------------------------------------------ dynamics
 
-    def _mean_dynamics(self, x, u):
+    def _mean_dynamics(self, x, u, consts: MPCConsts):
         """Discrete mean dynamics per ``discrete_method`` [SURVEY C6]."""
         dm = self.discrete_method
         if dm == "rk4":
@@ -238,19 +282,21 @@ class MPC:
         if dm == "exact":
             return self.model.integrate(x, u)
         z = jnp.concatenate([x, u])
+        gp_mean = mean_fn_functional(consts.post, consts.norm,
+                                     self._gp_cfg, z)
         if dm == "gp":
-            return self._gp_mean(z)
+            return gp_mean
         # hybrid: known model + GP residual correction
-        return self.model.rk4(x, u) + self.Bd @ self._gp_mean(z)
+        return self.model.rk4(x, u) + consts.bd @ gp_mean
 
-    def _cov_step(self, x, u, sigma):
+    def _cov_step(self, x, u, sigma, consts: MPCConsts):
         """One-step covariance propagation (zero-order pass).
 
         Builds the joint input covariance including feedback cross-terms
         Sigma_u = K Sigma K' [SURVEY C6 'feedback'], then applies the
         selected scheme.  ME carries no covariance [SURVEY §3.3 'ME: Sigma=0'].
         """
-        k = self.K_fb
+        k = consts.k_fb
         sk = sigma @ k.T                                  # delta-u = -K delta-x
         sigma_z = jnp.block([[sigma, -sk],
                              [-sk.T, k @ sigma @ k.T]])
@@ -262,33 +308,35 @@ class MPC:
             jx = jax.jacfwd(lambda xx: f(xx, u))(x)
             ju = jax.jacfwd(lambda uu: f(x, uu))(u)
             j = jnp.concatenate([jx, ju], axis=1)          # (Nx, Nx+Nu)
-            sig_n = j @ sigma_z @ j.T + self.model.R
+            sig_n = j @ sigma_z @ j.T + consts.model_r
             return 0.5 * (sig_n + sig_n.T)
 
         if dm == "gp":
             if self.gp_method == "ME":
                 return jnp.zeros_like(sigma)
-            _, sig_y, _ = self._moment_map(z, sigma_z)
-            sig_n = sig_y + self._noise_cov
+            _, sig_y, _ = self._propagator(consts.post, consts.norm,
+                                           self._gp_cfg, z, sigma_z)
+            sig_n = sig_y + consts.noise_cov
             return 0.5 * (sig_n + sig_n.T)
 
         # hybrid: linearized known part + GP residual part + cross terms
         jx = jax.jacfwd(lambda xx: self.model.rk4(xx, u))(x)
         ju = jax.jacfwd(lambda uu: self.model.rk4(x, uu))(u)
         j = jnp.concatenate([jx, ju], axis=1)
-        _, sig_y, c_zy = self._moment_map(z, sigma_z)
-        bd = self.Bd
+        _, sig_y, c_zy = self._propagator(consts.post, consts.norm,
+                                          self._gp_cfg, z, sigma_z)
+        bd = consts.bd
         cross = j @ c_zy @ bd.T
         sig_n = (j @ sigma_z @ j.T + bd @ sig_y @ bd.T
-                 + cross + cross.T + self._noise_cov)
+                 + cross + cross.T + consts.noise_cov)
         return 0.5 * (sig_n + sig_n.T)
 
-    def propagate_covariances(self, xs, us, sigma0):
+    def propagate_covariances(self, xs, us, sigma0, consts: MPCConsts):
         """Scan Sigma_t along a nominal trajectory -> (Nt+1, Nx, Nx)
         [SURVEY §3.3 'covariance propagation alongside the mean']."""
         def step(sig, xu):
             x, u = xu
-            return self._cov_step(x, u, sig), sig
+            return self._cov_step(x, u, sig, consts), sig
 
         sig_last, sigmas = jax.lax.scan(
             step, sigma0, (xs[:-1, :self.Nx], us))
@@ -307,40 +355,42 @@ class MPC:
 
         def dynamics(xa, u, t, params: MPCParams):
             x, _ = self._split(xa)
-            xn = self._mean_dynamics(x, u)
+            xn = self._mean_dynamics(x, u, params.consts)
             return jnp.concatenate([xn, u]) if self.aug else xn
 
         def stage_cost(xa, u, t, params: MPCParams):
+            c0 = params.consts
             x, u_prev = self._split(xa)
             sig = params.sigmas[t]
             if self.cost_func == "quad":
-                c = cost_lib.expected_quadratic(x, sig, params.x_sp, self.Q)
+                c = cost_lib.expected_quadratic(x, sig, params.x_sp, c0.q)
             else:
-                c = cost_lib.expected_saturating(x, sig, params.x_sp, self.Q)
-            du_sp = u - self.u_sp
-            c = c + du_sp @ self.R @ du_sp
+                c = cost_lib.expected_saturating(x, sig, params.x_sp, c0.q)
+            du_sp = u - c0.u_sp
+            c = c + du_sp @ c0.r @ du_sp
             if self.aug:
                 dd = u - u_prev
-                c = c + dd @ self.S @ dd
+                c = c + dd @ c0.s @ dd
             return c
 
         def terminal_cost(xa, params: MPCParams):
+            c0 = params.consts
             x, _ = self._split(xa)
             sig = params.sigmas[nt]
-            w = self.P
             if self.cost_func == "quad":
-                return cost_lib.expected_quadratic(x, sig, params.x_sp, w)
-            return cost_lib.expected_saturating(x, sig, params.x_sp, w)
+                return cost_lib.expected_quadratic(x, sig, params.x_sp, c0.p)
+            return cost_lib.expected_saturating(x, sig, params.x_sp, c0.p)
 
         def stage_ineq(xa, u, t, params: MPCParams):
+            c0 = params.consts
             x, _ = self._split(xa)
             mx = params.margins_x[t]
             mu_m = params.margins_u[t]
             g = [
-                (x - (self.xub - mx)) / self._x_scale,
-                ((self.xlb + mx) - x) / self._x_scale,
-                (u - (self.uub - mu_m)) / self._u_scale,
-                ((self.ulb + mu_m) - u) / self._u_scale,
+                (x - (c0.xub - mx)) / c0.x_scale,
+                ((c0.xlb + mx) - x) / c0.x_scale,
+                (u - (c0.uub - mu_m)) / c0.u_scale,
+                ((c0.ulb + mu_m) - u) / c0.u_scale,
             ]
             if self.user_ineq is not None:
                 g.append(self.user_ineq(x, params.sigmas[t], u,
@@ -348,11 +398,12 @@ class MPC:
             return jnp.concatenate(g)
 
         def terminal_ineq(xa, params: MPCParams):
+            c0 = params.consts
             x, _ = self._split(xa)
             mx = params.margins_x[nt]
             g = [
-                (x - (self.xub - mx)) / self._x_scale,
-                ((self.xlb + mx) - x) / self._x_scale,
+                (x - (c0.xub - mx)) / c0.x_scale,
+                ((c0.xlb + mx) - x) / c0.x_scale,
             ]
             if self.terminal_constraint is not None:
                 # ||x_N - x_sp||^2 <= terminal_constraint [SURVEY C6, conf. M]
@@ -362,18 +413,15 @@ class MPC:
 
         n_ineq = 2 * nx + 2 * nu + self.num_user_con
         n_term = 2 * nx + (1 if self.terminal_constraint is not None else 0)
-        # input-iterate safeguard: half a box-width beyond the bounds
-        pad = 0.5 * jnp.where(self.uub - self.ulb < _BIG,
-                              self.uub - self.ulb, _BIG)
         self.problem = al_sqp.TrajectoryProblem(
             nx=self.Nxa, nu=nu, horizon=nt,
             dynamics=dynamics, stage_cost=stage_cost,
             terminal_cost=terminal_cost,
             stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
             n_ineq=n_ineq, n_term_ineq=n_term,
-            u_guard_lo=self.ulb - pad, u_guard_hi=self.uub + pad)
+            u_guard=lambda p: (p.consts.u_guard_lo, p.consts.u_guard_hi))
 
-    def _margins(self, sigmas):
+    def _margins(self, sigmas, consts: MPCConsts):
         """Chance tightening: Phi^{-1}(p) * sqrt(diag Sigma_t), clamped so
         tightened boxes cannot cross [SURVEY C6]."""
         if self.percentile is None:
@@ -382,14 +430,14 @@ class MPC:
             return mx, mu_m
         dx = jnp.sqrt(jnp.clip(jax.vmap(jnp.diagonal)(sigmas), 0.0, None))
         mx = self.quantile * dx
-        box = self.xub - self.xlb
+        box = consts.xub - consts.xlb
         mx = jnp.minimum(mx, 0.49 * jnp.where(box < _BIG, box, _BIG))
         # input tightening from Sigma_u = K Sigma K' (feedback only)
-        k = self.K_fb
-        sig_u = jax.vmap(lambda s: k @ s @ k.T)(sigmas[:-1])
+        k = consts.k_fb
+        sig_u = jax.vmap(lambda s_: k @ s_ @ k.T)(sigmas[:-1])
         du = jnp.sqrt(jnp.clip(jax.vmap(jnp.diagonal)(sig_u), 0.0, None))
         mu_m = self.quantile * du
-        ubox = self.uub - self.ulb
+        ubox = consts.uub - consts.ulb
         mu_m = jnp.minimum(mu_m, 0.49 * jnp.where(ubox < _BIG, ubox, _BIG))
         return mx, mu_m
 
@@ -399,24 +447,35 @@ class MPC:
         return jnp.concatenate([x0, u_prev]) if self.aug else x0
 
     def _solve_step(self, warm: al_sqp.SolverState, x0, x_sp, u_prev,
-                    sigma0, con_par):
+                    sigma0, con_par, consts: MPCConsts):
         """One MPC solve: zero-order covariance refresh passes around the
         AL-SQP [SURVEY §3.4 per-step body, minus the host round-trips]."""
         x0a = self._augment_x0(x0, u_prev)
         state = al_sqp.shift_state(warm, x0a)
-        sigmas = self.propagate_covariances(state.x, state.u, sigma0)
-        result = None
-        for _ in range(max(self.cov_updates, 1)):
-            mx, mu_m = self._margins(sigmas)
+        sigmas = self.propagate_covariances(state.x, state.u, sigma0, consts)
+
+        def cov_pass(carry, _):
+            state, sigmas = carry
+            mx, mu_m = self._margins(sigmas, consts)
             params = MPCParams(x0=x0, x_sp=x_sp, u_prev=u_prev,
                                margins_x=mx, margins_u=mu_m,
-                               sigmas=sigmas, con_par=con_par)
+                               sigmas=sigmas, con_par=con_par, consts=consts)
             result = al_sqp.solve(self.problem, params, state, self.sqp_cfg)
-            state = result.state
-            sigmas = self.propagate_covariances(state.x, state.u, sigma0)
-        info = StepInfo(obj=result.obj, defect=result.defect,
-                        con_viol=result.con_viol, iters=result.iters,
-                        converged=result.converged)
+            sigmas = self.propagate_covariances(result.state.x,
+                                                result.state.u, sigma0,
+                                                consts)
+            out = (result.obj, result.defect, result.con_viol,
+                   result.iters, result.converged)
+            return (result.state, sigmas), out
+
+        # the zero-order covariance refreshes are identical passes -> scan
+        # (one traced copy of the AL-SQP graph, not cov_updates copies)
+        (state, sigmas), outs = jax.lax.scan(
+            cov_pass, (state, sigmas), None,
+            length=max(self.cov_updates, 1))
+        info = StepInfo(obj=outs[0][-1], defect=outs[1][-1],
+                        con_viol=outs[2][-1], iters=outs[3][-1],
+                        converged=outs[4][-1])
         return state, state.u[0], sigmas, info
 
     def _init_warm(self, x0a, x_sp, u_init=None):
@@ -440,7 +499,7 @@ class MPC:
         if con_par is None:
             con_par = jnp.zeros(self.num_con_par, self.dtype)
         state, u0, sigmas, info = self._solve_step_jit(
-            warm, x0, x_sp, u_prev, sigma0, con_par)
+            warm, x0, x_sp, u_prev, sigma0, con_par, self.consts)
         return u0, state, sigmas, info
 
     def _dummy_params(self, x0a, x_sp):
@@ -450,12 +509,13 @@ class MPC:
             margins_x=jnp.zeros((self.Nt + 1, self.Nx), self.dtype),
             margins_u=jnp.zeros((self.Nt, self.Nu), self.dtype),
             sigmas=jnp.zeros((self.Nt + 1, self.Nx, self.Nx), self.dtype),
-            con_par=jnp.zeros(self.num_con_par, self.dtype))
+            con_par=jnp.zeros(self.num_con_par, self.dtype),
+            consts=self.consts)
 
     # ------------------------------------------------------------ closed loop
 
-    def _closed_loop(self, x0, x_sp, u0_guess, con_pars, noise_w, n_steps,
-                     noise):
+    def _closed_loop(self, x0, x_sp, u0_guess, con_pars, noise_w, consts,
+                     n_steps, noise):
         """The fused receding-horizon loop: one ``lax.scan`` over control
         steps — solve, apply u0* to the plant, shift, repeat
         [SURVEY §3.4; BASELINE 'zero host round-trips']."""
@@ -467,10 +527,10 @@ class MPC:
             x, warm, u_prev = carry
             con_par, w = inp
             warm, u_cmd, sigmas, info = self._solve_step(
-                warm, x, x_sp, u_prev, sigma0, con_par)
+                warm, x, x_sp, u_prev, sigma0, con_par, consts)
             # physical actuator saturation: the plant can only receive inputs
             # inside the hard box, whatever the solver's residual violation
-            u_cmd = jnp.clip(u_cmd, self.ulb, self.uub)
+            u_cmd = jnp.clip(u_cmd, consts.ulb, consts.uub)
             x_next = self.model.integrate(x, u_cmd)
             if noise:
                 x_next = x_next + w
@@ -518,7 +578,7 @@ class MPC:
 
         t_start = time.perf_counter()
         xs, us, sig1s, infos = self._closed_loop_jit(
-            x0, x_sp, u0_guess, con_pars, noise_w,
+            x0, x_sp, u0_guess, con_pars, noise_w, self.consts,
             n_steps=n_steps, noise=noise)
         xs.block_until_ready()
         wall = time.perf_counter() - t_start

@@ -33,6 +33,74 @@ def chol_solve(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return tri_solve(l, tri_solve(l, b), trans=True)
 
 
+def chol_small(a: jnp.ndarray, clamp: bool = True) -> jnp.ndarray:
+    """Trace-time-unrolled Cholesky for small static n (stage matrices,
+    EM covariance blocks; n <= ~16).
+
+    On this TPU backend, *batched* ``jnp.linalg.cholesky`` / triangular-solve
+    HLOs (under vmap, e.g. per output dim or per rollout) are pathologically
+    slow (~0.3 ms each) or hang the compiler when nested in scans.  These
+    unrolled forms are pure elementwise/matmul ops: vmap just adds batch
+    dimensions, and XLA fuses the whole factorization into a handful of
+    kernels.  Use ONLY for small static n — the unroll is O(n^2) ops.
+    """
+    n = a.shape[-1]
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        # d = a[j,j] - sum_{k<j} l[j,k]^2
+        d = a[..., j, j] - sum(l[..., j, k] * l[..., j, k] for k in range(j))
+        # clamp=False keeps the NaN of a non-PD pivot so callers (Riccati)
+        # can detect failure and regularize
+        dsqrt = jnp.sqrt(jnp.maximum(d, 1e-30) if clamp else d)
+        l = l.at[..., j, j].set(dsqrt)
+        for i in range(j + 1, n):
+            s = a[..., i, j] - sum(l[..., i, k] * l[..., j, k]
+                                   for k in range(j))
+            l = l.at[..., i, j].set(s / dsqrt)
+    return l
+
+
+def tri_solve_small(l: jnp.ndarray, b: jnp.ndarray,
+                    trans: bool = False) -> jnp.ndarray:
+    """Unrolled triangular solve L x = b (or L^T x = b); L (..., n, n) lower,
+    b (..., n) or (..., n, m).  Same rationale as :func:`chol_small`."""
+    n = l.shape[-1]
+    vec = b.ndim == l.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = jnp.zeros_like(b)
+    idx = range(n) if not trans else range(n - 1, -1, -1)
+    for i in idx:
+        acc = b[..., i, :]
+        if not trans:
+            for k in range(i):
+                acc = acc - l[..., i, k, None] * x[..., k, :]
+        else:
+            for k in range(i + 1, n):
+                acc = acc - l[..., k, i, None] * x[..., k, :]
+        x = x.at[..., i, :].set(acc / l[..., i, i, None])
+    return x[..., 0] if vec else x
+
+
+def spd_solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """A^{-1} b for small SPD A via unrolled Cholesky."""
+    l = chol_small(a)
+    return tri_solve_small(l, tri_solve_small(l, b), trans=True)
+
+
+def spd_inverse_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverse of small SPD A (unrolled)."""
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    return spd_solve_small(a, eye)
+
+
+def chol_logdet_small(l: jnp.ndarray) -> jnp.ndarray:
+    """log det A from its small Cholesky factor (sum of 2 log diag)."""
+    n = l.shape[-1]
+    return 2.0 * sum(jnp.log(l[..., i, i]) for i in range(n))
+
+
 def cholupdate(l: jnp.ndarray, x: jnp.ndarray,
                downdate: bool = False) -> jnp.ndarray:
     """Rank-1 Cholesky update: factor of L L^T +/- x x^T in O(N^2).

@@ -1,0 +1,283 @@
+"""Pallas TPU kernels for the GP compute path.
+
+BASELINE north star: "the GP layer (SE/ARD Gram matrix construction,
+Cholesky-factorized log-marginal-likelihood training, predictive
+mean/variance) runs as Pallas kernels".  These are the fused building
+blocks; the jnp reference semantics live in :mod:`gpmpc_tpu.ops.kernels`
+and :mod:`gpmpc_tpu.ops.chol` (CPU path + correctness oracle — every kernel
+here is tested against them in interpret mode and, on hardware, compiled).
+
+Design notes (per the TPU kernel playbook):
+
+* ``se_ard_gram``: one fused pass — the scaled cross products ride the MXU
+  (``jnp.dot`` with f32 accumulation), the row-norm broadcast + exp ride the
+  VPU, and the (sf2 + sn2) diagonal write happens in-register — no HBM
+  round-trip between the matmul and the exponential (XLA usually fuses this
+  too; the kernel guarantees it and controls the tiling).
+* ``cholesky``: right-looking blocked factorization entirely in VMEM for
+  N <= 1024 (a 1024^2 f32 matrix is 4 MB < 16 MB VMEM): factor a 128-panel
+  diagonal block with an in-register unblocked loop, triangular-solve the
+  panel below it, SYRK-update the trailing matrix on the MXU.
+* batched GP predict (``gp_predict_batch``): for B query points and Ny
+  output dims, fuse the cross-kernel k* computation with the alpha / invK
+  contractions — the hot op of BASELINE config 1 ("GP mean/var predict,
+  us-scale").
+
+All wrappers pad to (8,128)-aligned shapes and slice back, so callers keep
+natural sizes (N ~ 100 training points).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ------------------------------------------------------------------ gram
+
+def _gram_kernel(xs_ref, diag_ref, out_ref):
+    """One (TN, TN) tile of  sf2*exp(-0.5*d2(xs_i, xs_j)) (+ diag term).
+
+    ``xs`` is pre-scaled by 1/ell; ``diag_ref`` is a (1,1) SMEM scalar with
+    the extra diagonal mass (sf2 + sn2 + jitter - computed k(x,x)) applied
+    on the diagonal tile only.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    xi = xs_ref[...]                      # whole (Np, Dp) block in VMEM
+    tn = out_ref.shape[0]
+    xi_t = jax.lax.dynamic_slice_in_dim(xi, i * tn, tn, 0)
+    xj_t = jax.lax.dynamic_slice_in_dim(xi, j * tn, tn, 0)
+    cross = jnp.dot(xi_t, xj_t.T, preferred_element_type=jnp.float32)
+    ni = jnp.sum(xi_t * xi_t, axis=1, keepdims=True)
+    nj = jnp.sum(xj_t * xj_t, axis=1, keepdims=True)
+    d2 = jnp.maximum(ni + nj.T - 2.0 * cross, 0.0)
+    sf2 = diag_ref[0, 0]
+    extra = diag_ref[0, 1]
+    k = sf2 * jnp.exp(-0.5 * d2)
+
+    @pl.when(i == j)
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tn, tn), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tn), 1)
+        out_ref[...] = jnp.where(rows == cols, sf2 + extra, k)
+
+    @pl.when(i != j)
+    def _():
+        out_ref[...] = k
+
+
+def se_ard_gram_pallas(x: jnp.ndarray, ell: jnp.ndarray, sf2,
+                       sn2=0.0, jitter: float = 0.0,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused SE-ARD Gram matrix K(X,X) + (sn2 + jitter*sf2) I on TPU.
+
+    Semantics identical to :func:`gpmpc_tpu.ops.kernels.se_ard_gram`.
+    """
+    n, d = x.shape
+    dtype = x.dtype
+    tn = 128
+    npad = _round_up(max(n, 8), tn)
+    dpad = _round_up(max(d, 1), 128)
+    # scale inputs once; pad points far away so their kernel values underflow
+    xs = jnp.zeros((npad, dpad), jnp.float32)
+    xs = xs.at[:n, :d].set((x / ell).astype(jnp.float32))
+    xs = xs.at[n:, 0].set(1e6)
+    sf2 = jnp.asarray(sf2, jnp.float32)
+    extra = jnp.asarray(sn2, jnp.float32) + jitter * sf2
+    diag = jnp.stack([sf2, extra]).reshape(1, 2)
+
+    grid = (npad // tn, npad // tn)
+    out = pl.pallas_call(
+        _gram_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((npad, dpad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, npad), jnp.float32),
+        interpret=interpret,
+    )(xs, diag)
+    return out[:n, :n].astype(dtype)
+
+
+# -------------------------------------------------------------- cholesky
+
+def _chol_kernel(a_ref, out_ref, *, n_blocks: int, tb: int):
+    """Right-looking blocked Cholesky, whole matrix resident in VMEM."""
+    a = a_ref[...]
+
+    def panel_step(k, a):
+        # --- factor diagonal block (unblocked, in-register) ---
+        akk = jax.lax.dynamic_slice(a, (k * tb, k * tb), (tb, tb))
+
+        def chol_row(i, l):
+            # unblocked left-looking column update of the diagonal block:
+            # dii = sqrt(a[i,i] - sum_{j<i} l[i,j]^2)
+            # l[r,i] = (a[r,i] - sum_{j<i} l[r,j] l[i,j]) / dii   for r > i
+            li = jax.lax.dynamic_slice(l, (i, 0), (1, tb))[0]
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)[:, 0]
+            mask_j = col_ids < i
+            li_masked = jnp.where(mask_j, li, 0.0)
+            dii = jnp.sqrt(jnp.maximum(l[i, i] - jnp.sum(li_masked ** 2),
+                                       1e-30))
+            lj_masked = jnp.where(mask_j[None, :], l, 0.0)
+            new_col = (l[:, i] - lj_masked @ li_masked) / dii
+            new_col = jnp.where(col_ids > i, new_col,
+                                jnp.where(col_ids == i, dii, l[:, i]))
+            return l.at[:, i].set(new_col)
+
+        lkk = jax.lax.fori_loop(0, tb, chol_row, akk)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 1)
+        lkk = jnp.where(rows >= cols, lkk, 0.0)
+        a = jax.lax.dynamic_update_slice(a, lkk, (k * tb, k * tb))
+
+        # --- panel solve + trailing update (masked full-width ops) ---
+        # rows below the panel: A[k+1:, k] <- A[k+1:, k] L_kk^{-T}
+        # forward substitution against lkk^T, column by column
+        nb = a.shape[0]
+        below = jax.lax.dynamic_slice(a, (0, k * tb), (nb, tb))
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
+        below_mask = row_ids >= (k + 1) * tb
+
+        def solve_col(i, b):
+            # b[:, i] = (below[:, i] - sum_{j<i} b[:, j] lkk[i, j]) / lkk[i, i]
+            cols_b = jax.lax.broadcasted_iota(jnp.int32, (tb,), 0)
+            lrow = lkk[i]                          # (tb,)
+            lrow_masked = jnp.where(cols_b < i, lrow, 0.0)
+            acc = b @ lrow_masked
+            new = (b[:, i] - acc) / lkk[i, i]
+            return b.at[:, i].set(new)
+
+        panel = jax.lax.fori_loop(0, tb, solve_col, below)
+        panel = jnp.where(below_mask[:, None], panel, below)
+        a = jax.lax.dynamic_update_slice(a, panel, (0, k * tb))
+
+        # trailing update: A[k+1:, k+1:] -= panel panel^T (masked)
+        p_masked = jnp.where(below_mask[:, None], panel, 0.0)
+        upd = jnp.dot(p_masked, p_masked.T,
+                      preferred_element_type=jnp.float32)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)[0]
+        trail_mask = (row_ids[:, None] >= (k + 1) * tb) & \
+                     (col_ids[None, :] >= (k + 1) * tb)
+        a = a - jnp.where(trail_mask, upd, 0.0)
+        return a
+
+    a = jax.lax.fori_loop(0, n_blocks, panel_step, a)
+    rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    out_ref[...] = jnp.where(rows >= cols, a, 0.0)
+
+
+def cholesky_pallas(a: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Blocked in-VMEM Cholesky for SPD matrices up to ~1024x1024.
+
+    Semantics match ``jnp.linalg.cholesky`` (lower factor).  Padded slots
+    get an identity diagonal so the factorization stays well-posed.
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    tb = 128
+    npad = _round_up(max(n, 8), tb)
+    ap = jnp.eye(npad, dtype=jnp.float32)
+    ap = ap.at[:n, :n].set(a.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_chol_kernel, n_blocks=npad // tb, tb=tb),
+        in_specs=[pl.BlockSpec((npad, npad), lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((npad, npad), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, npad), jnp.float32),
+        interpret=interpret,
+    )(ap)
+    return out[:n, :n].astype(dtype)
+
+
+# ------------------------------------------------------- batched predict
+
+def _predict_kernel(zs_ref, xs_ref, alpha_ref, hyp_ref, mu_ref, ks_ref):
+    """Fused k* + mean for one output dim d over a tile of query points.
+
+    zs/xs pre-scaled by 1/ell_d outside.  Writes mu (B,) and k* (B, N) so
+    the variance path can run its triangular solves on k* afterward.
+    """
+    z = zs_ref[...]                       # (TB, Dp)
+    x = xs_ref[...]                       # (Np, Dp)
+    cross = jnp.dot(z, x.T, preferred_element_type=jnp.float32)
+    nz = jnp.sum(z * z, axis=1, keepdims=True)
+    nx = jnp.sum(x * x, axis=1, keepdims=True)
+    d2 = jnp.maximum(nz + nx.T - 2.0 * cross, 0.0)
+    sf2 = hyp_ref[0, 0]
+    ks = sf2 * jnp.exp(-0.5 * d2)         # (TB, Np)
+    ks_ref[...] = ks
+    alpha = alpha_ref[...]                # (1, Np)
+    mu_ref[...] = jnp.dot(ks, alpha.T,
+                          preferred_element_type=jnp.float32)
+
+
+def gp_predict_batch_pallas(z: jnp.ndarray, x: jnp.ndarray,
+                            ell: jnp.ndarray, sf2, alpha: jnp.ndarray,
+                            interpret: bool = False):
+    """Batched single-dim GP k*/mean: z (B,D), x (N,D) -> (mu (B,), ks (B,N)).
+
+    The caller completes the variance with ``tri_solve(L, ks.T)`` (XLA) —
+    the O(B N D) kernel work is fused here, the O(B N^2) solve stays in the
+    tuned XLA triangular-solve.
+    """
+    b, d = z.shape
+    n = x.shape[0]
+    dtype = z.dtype
+    tb = 128
+    bpad = _round_up(max(b, 8), tb)
+    npad = _round_up(max(n, 8), 128)
+    dpad = _round_up(max(d, 1), 128)
+
+    zs = jnp.zeros((bpad, dpad), jnp.float32)
+    zs = zs.at[:b, :d].set((z / ell).astype(jnp.float32))
+    xs = jnp.zeros((npad, dpad), jnp.float32)
+    xs = xs.at[:n, :d].set((x / ell).astype(jnp.float32))
+    xs = xs.at[n:, 0].set(1e6)
+    al = jnp.zeros((1, npad), jnp.float32).at[0, :n].set(
+        alpha.astype(jnp.float32))
+    hyp = jnp.asarray(sf2, jnp.float32).reshape(1, 1)
+
+    mu, ks = pl.pallas_call(
+        _predict_kernel,
+        grid=(bpad // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, dpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((npad, dpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, npad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bpad, npad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(zs, xs, al, hyp)
+    return mu[:b, 0].astype(dtype), ks[:b, :n].astype(dtype)

@@ -30,9 +30,24 @@ from gpmpc_tpu.solvers import al_sqp
 from gpmpc_tpu.utils.config import SQPConfig
 
 
+class StudyConsts(NamedTuple):
+    """Arrays the study NLP reads — passed as runtime arguments (captured
+    array constants cost ~25 ms/call on this TPU backend)."""
+
+    q: jnp.ndarray
+    r: jnp.ndarray
+    ulb: jnp.ndarray
+    uub: jnp.ndarray
+    u_scale: jnp.ndarray
+    u_guard_lo: jnp.ndarray
+    u_guard_hi: jnp.ndarray
+    norm: object                     # Normalization pytree
+
+
 class StudyParams(NamedTuple):
     x_sp: jnp.ndarray
     post: online_gp.OnlinePosterior
+    consts: StudyConsts
 
 
 class StudyResult(NamedTuple):
@@ -80,70 +95,74 @@ class BatchedStudy:
         cap = capacity or (gp.N + 64)
         self.post0, self.norm = online_gp.from_gp(gp, cap)
 
-        norm = self.norm
+        u_scale = jnp.where(self.uub - self.ulb < big,
+                            jnp.maximum(self.uub - self.ulb, 1e-6), 1.0)
+        pad = 0.5 * jnp.where(self.uub - self.ulb < big,
+                              self.uub - self.ulb, big)
+        self.consts = StudyConsts(
+            q=self.Q, r=self.R, ulb=self.ulb, uub=self.uub,
+            u_scale=u_scale, u_guard_lo=self.ulb - pad,
+            u_guard_hi=self.uub + pad, norm=self.norm)
 
         def dynamics(x, u, t, params: StudyParams):
             z = jnp.concatenate([x, u])
-            return online_gp.predict(params.post, norm, z)[0]
+            return online_gp.predict(params.post, params.consts.norm, z)[0]
 
         def stage_cost(x, u, t, params: StudyParams):
             e = x - params.x_sp
-            return e @ self.Q @ e + u @ self.R @ u
+            return e @ params.consts.q @ e + u @ params.consts.r @ u
 
         def terminal_cost(x, params: StudyParams):
             e = x - params.x_sp
-            return 10.0 * (e @ self.Q @ e)
-
-        u_scale = jnp.where(self.uub - self.ulb < big,
-                            jnp.maximum(self.uub - self.ulb, 1e-6), 1.0)
+            return 10.0 * (e @ params.consts.q @ e)
 
         def stage_ineq(x, u, t, params: StudyParams):
-            return jnp.concatenate([(u - self.uub) / u_scale,
-                                    (self.ulb - u) / u_scale])
+            c0 = params.consts
+            return jnp.concatenate([(u - c0.uub) / c0.u_scale,
+                                    (c0.ulb - u) / c0.u_scale])
 
-        pad = 0.5 * jnp.where(self.uub - self.ulb < big,
-                              self.uub - self.ulb, big)
         self.problem = al_sqp.TrajectoryProblem(
             nx=self.Nx, nu=self.Nu, horizon=self.Nt,
             dynamics=dynamics, stage_cost=stage_cost,
             terminal_cost=terminal_cost,
             stage_ineq=stage_ineq, n_ineq=2 * self.Nu,
-            u_guard_lo=self.ulb - pad, u_guard_hi=self.uub + pad)
+            u_guard=lambda p: (p.consts.u_guard_lo, p.consts.u_guard_hi))
 
         self._run_jit = jax.jit(self._run, static_argnames=("n_steps",))
 
     # ----------------------------------------------------------- rollouts
 
-    def _rollout(self, x0, x_sp, noise_w):
+    def _rollout(self, x0, x_sp, noise_w, post0, consts: StudyConsts):
         """One closed-loop rollout with online conditioning (lax.scan)."""
-        params0 = StudyParams(x_sp=x_sp, post=self.post0)
+        params0 = StudyParams(x_sp=x_sp, post=post0, consts=consts)
         warm = al_sqp.init_state(self.problem, x0, params=params0)
 
         def step(carry, w):
             x, warm, post = carry
-            params = StudyParams(x_sp=x_sp, post=post)
+            params = StudyParams(x_sp=x_sp, post=post, consts=consts)
             state = al_sqp.shift_state(warm, x)
             res = al_sqp.solve(self.problem, params, state, self.sqp_cfg)
-            u = jnp.clip(res.state.u[0], self.ulb, self.uub)
+            u = jnp.clip(res.state.u[0], consts.ulb, consts.uub)
             x_next = self.model.integrate(x, u) + w
             if self.model.clip_negative:
                 x_next = jnp.maximum(x_next, 0.0)
             if self.condition_online:
                 z = jnp.concatenate([x, u])
-                post = online_gp.condition(post, self.norm, z, x_next)
+                post = online_gp.condition(post, consts.norm, z, x_next)
             return (x_next, res.state, post), (x, u, res.obj)
 
         (x_last, _, post), (xs, us, objs) = jax.lax.scan(
-            step, (x0, warm, self.post0), noise_w)
+            step, (x0, warm, post0), noise_w)
         xs = jnp.concatenate([xs, x_last[None]], axis=0)
         e = xs[:-1] - x_sp
-        cost = jnp.sum(jnp.einsum("ti,ij,tj->t", e, self.Q, e)
-                       + jnp.einsum("ti,ij,tj->t", us, self.R, us))
+        cost = jnp.sum(jnp.einsum("ti,ij,tj->t", e, consts.q, e)
+                       + jnp.einsum("ti,ij,tj->t", us, consts.r, us))
         return xs, us, cost, objs, post.count
 
-    def _run(self, x0s, x_sp, noise_ws, n_steps):
+    def _run(self, x0s, x_sp, noise_ws, post0, consts, n_steps):
         xs, us, cost, objs, counts = jax.vmap(
-            lambda x0, w: self._rollout(x0, x_sp, w))(x0s, noise_ws)
+            lambda x0, w: self._rollout(x0, x_sp, w, post0, consts))(
+                x0s, noise_ws)
         # batch-mean metric: under a dp-sharded batch this lowers to a psum
         # over the mesh (ICI collective)
         mean_cost = jnp.mean(cost)
@@ -170,4 +189,5 @@ class BatchedStudy:
             dp = NamedSharding(self.mesh, P("dp"))
             x0s = jax.device_put(x0s, dp)
             noise_ws = jax.device_put(noise_ws, dp)
-        return self._run_jit(x0s, x_sp, noise_ws, n_steps=n_steps)
+        return self._run_jit(x0s, x_sp, noise_ws, self.post0, self.consts,
+                             n_steps=n_steps)

@@ -65,13 +65,14 @@ class TrajectoryProblem:
     n_ineq: int = 0
     n_term_ineq: int = 0
     # Optional safeguard box for input iterates: candidate U is projected
-    # into [u_guard_lo, u_guard_hi] before evaluation.  Set this slightly
+    # into [lo, hi] = u_guard(params) before evaluation.  Set this slightly
     # wider than the physical input bounds; it keeps Gauss-Newton steps from
     # evaluating the dynamics at absurd inputs (e.g. tan(steering) wrapping
     # past pi/2) when warm-start defects are large.  A minimizer satisfying
-    # the actual bound constraints is unaffected.
-    u_guard_lo: Optional[jnp.ndarray] = None
-    u_guard_hi: Optional[jnp.ndarray] = None
+    # the actual bound constraints is unaffected.  A callable over ``params``
+    # (not stored arrays) so the bounds ride the runtime-argument path —
+    # closed-over array constants cost ~25 ms/call on this TPU backend.
+    u_guard: Optional[Callable] = None
 
 
 class SolverState(NamedTuple):
@@ -243,8 +244,9 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
 
             def try_alpha(alpha):
                 u_new = state.u + alpha * sol.du
-                if prob.u_guard_lo is not None:
-                    u_new = jnp.clip(u_new, prob.u_guard_lo, prob.u_guard_hi)
+                if prob.u_guard is not None:
+                    g_lo, g_hi = prob.u_guard(params)
+                    u_new = jnp.clip(u_new, g_lo, g_hi)
                 cand = SolverState(x=state.x + alpha * sol.dx,
                                    u=u_new,
                                    lam=state.lam, lam_term=state.lam_term)

@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gpmpc_tpu.ops.chol import chol_small, tri_solve_small
+
 
 class StageQP(NamedTuple):
     """Stacked stage data; leading axis = time (Nt for stage terms)."""
@@ -72,10 +74,17 @@ def solve(qp: StageQP, dx0: jnp.ndarray, reg: jnp.ndarray | float
         vc = v_x + v_xx @ c
         h_x = q_x + a.T @ vc
         h_u = q_u + b.T @ vc
-        # small Nu x Nu solve; Cholesky-based for symmetry/PD detection
-        l = jnp.linalg.cholesky(h_uu)
-        k_gain = -jax.scipy.linalg.cho_solve((l, True), h_xu.T)
-        k_ff = -jax.scipy.linalg.cho_solve((l, True), h_u)
+        # small Nu x Nu solve via the unrolled Cholesky: pure elementwise
+        # ops, so the sweep stays fast when the whole solver is vmapped
+        # over batched rollouts (batched LAPACK HLOs are pathological on
+        # this backend; see ops.chol.chol_small)
+        l = chol_small(h_uu, clamp=False)
+
+        def pd_solve(rhs):
+            return tri_solve_small(l, tri_solve_small(l, rhs), trans=True)
+
+        k_gain = -pd_solve(h_xu.T)
+        k_ff = -pd_solve(h_u)
         v_xx_n = h_xx + h_xu @ k_gain
         v_xx_n = 0.5 * (v_xx_n + v_xx_n.T)
         v_x_n = h_x + h_xu @ k_ff
