@@ -52,7 +52,7 @@ def main():
               percentile=0.95, feedback=True, cov_updates=1,
               # warm-started receding horizon runs RTI-grade iteration
               # budgets (2 AL rounds x 4 GN steps)
-              solver_opts=dict(al_iters=2, max_iters=4, ls_steps=6),
+              solver_opts=dict(al_iters=1, max_iters=2, ls_steps=4),
               dtype=dtype)
 
     x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
@@ -62,14 +62,14 @@ def main():
         # compile once for this length
         mpc.solve(x0, n_steps * dt, x_sp, noise=False)
         reps = []
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.perf_counter()
             xs, _ = mpc.solve(x0, n_steps * dt, x_sp, noise=False)
             jax.block_until_ready(xs)
             reps.append(time.perf_counter() - t0)
         return min(reps)
 
-    k_small, k_large = 10, 40
+    k_small, k_large = 10, 80
     t_small = timed_loop(k_small)
     t_large = timed_loop(k_large)
     per_solve_ms = (t_large - t_small) / (k_large - k_small) * 1e3

@@ -136,6 +136,7 @@ class MPC:
                  inequality_constraints: Optional[Callable] = None,
                  num_con_par: int = 0,
                  solver_opts: Optional[dict] = None,
+                 init_solver_opts: Optional[dict] = None,
                  u_sp=None,
                  op_x=None, op_u=None,
                  include_noise_cov: bool = True,
@@ -167,7 +168,14 @@ class MPC:
         self.feedback = bool(feedback)
         self.cov_updates = int(cov_updates)
         self.include_noise_cov = bool(include_noise_cov)
+        # steady-state (warm-started / RTI) budget for the receding loop,
+        # plus a separate cold-start budget for the first solve — standard
+        # real-time-iteration practice: pay full convergence once, then
+        # track with a few Gauss-Newton steps per control period
         self.sqp_cfg = SQPConfig(**(solver_opts or {}))
+        self.init_sqp_cfg = (SQPConfig(**init_solver_opts)
+                             if init_solver_opts is not None
+                             else SQPConfig())
 
         def mat(m, n, default_diag):
             if m is None:
@@ -268,6 +276,8 @@ class MPC:
 
         self._build_problem()
         self._solve_step_jit = jax.jit(self._solve_step)
+        self._solve_step_init_jit = jax.jit(
+            lambda *a: self._solve_step(*a, cfg=self.init_sqp_cfg))
         self._closed_loop_jit = jax.jit(
             self._closed_loop, static_argnames=("n_steps", "noise"))
         self._last_run = None
@@ -447,36 +457,36 @@ class MPC:
         return jnp.concatenate([x0, u_prev]) if self.aug else x0
 
     def _solve_step(self, warm: al_sqp.SolverState, x0, x_sp, u_prev,
-                    sigma0, con_par, consts: MPCConsts):
+                    sigma0, con_par, consts: MPCConsts, cfg=None):
         """One MPC solve: zero-order covariance refresh passes around the
         AL-SQP [SURVEY §3.4 per-step body, minus the host round-trips]."""
+        cfg = cfg if cfg is not None else self.sqp_cfg
         x0a = self._augment_x0(x0, u_prev)
         state = al_sqp.shift_state(warm, x0a)
-        sigmas = self.propagate_covariances(state.x, state.u, sigma0, consts)
 
-        def cov_pass(carry, _):
-            state, sigmas = carry
+        def cov_pass(state, _):
+            # zero-order pass: propagate Sigma along the current iterate,
+            # tighten, solve.  Each pass refreshes Sigma from the previous
+            # pass's solution (arXiv:2211.15522 scheme).
+            sigmas = self.propagate_covariances(state.x, state.u, sigma0,
+                                                consts)
             mx, mu_m = self._margins(sigmas, consts)
             params = MPCParams(x0=x0, x_sp=x_sp, u_prev=u_prev,
                                margins_x=mx, margins_u=mu_m,
                                sigmas=sigmas, con_par=con_par, consts=consts)
-            result = al_sqp.solve(self.problem, params, state, self.sqp_cfg)
-            sigmas = self.propagate_covariances(result.state.x,
-                                                result.state.u, sigma0,
-                                                consts)
+            result = al_sqp.solve(self.problem, params, state, cfg)
             out = (result.obj, result.defect, result.con_viol,
-                   result.iters, result.converged)
-            return (result.state, sigmas), out
+                   result.iters, result.converged, sigmas)
+            return result.state, out
 
-        # the zero-order covariance refreshes are identical passes -> scan
-        # (one traced copy of the AL-SQP graph, not cov_updates copies)
-        (state, sigmas), outs = jax.lax.scan(
-            cov_pass, (state, sigmas), None,
-            length=max(self.cov_updates, 1))
+        # the covariance refreshes are identical passes -> scan (one traced
+        # copy of the AL-SQP graph, not cov_updates copies)
+        state, outs = jax.lax.scan(
+            cov_pass, state, None, length=max(self.cov_updates, 1))
         info = StepInfo(obj=outs[0][-1], defect=outs[1][-1],
                         con_viol=outs[2][-1], iters=outs[3][-1],
                         converged=outs[4][-1])
-        return state, state.u[0], sigmas, info
+        return state, state.u[0], outs[5][-1], info
 
     def _init_warm(self, x0a, x_sp, u_init=None):
         return al_sqp.init_state(self.problem, x0a,
@@ -492,13 +502,16 @@ class MPC:
         x_sp = jnp.asarray(x_sp, self.dtype)
         if u_prev is None:
             u_prev = jnp.zeros(self.Nu, self.dtype)
-        if warm is None:
+        cold = warm is None
+        if cold:
             warm = self._init_warm(self._augment_x0(x0, u_prev), x_sp)
         if sigma0 is None:
             sigma0 = jnp.zeros((self.Nx, self.Nx), self.dtype)
         if con_par is None:
             con_par = jnp.zeros(self.num_con_par, self.dtype)
-        state, u0, sigmas, info = self._solve_step_jit(
+        # cold starts get the full-budget config; warm steps the RTI budget
+        step_fn = self._solve_step_init_jit if cold else self._solve_step_jit
+        state, u0, sigmas, info = step_fn(
             warm, x0, x_sp, u_prev, sigma0, con_par, self.consts)
         return u0, state, sigmas, info
 
@@ -522,6 +535,15 @@ class MPC:
         u_start = jnp.zeros(self.Nu, self.dtype)
         warm = self._init_warm(self._augment_x0(x0, u_start), x_sp, u0_guess)
         sigma0 = jnp.zeros((self.Nx, self.Nx), self.dtype)
+
+        # cold-start preparation: one full-budget solve preconditions the
+        # warm state so the in-loop (possibly RTI-grade) budget only tracks
+        if self.init_sqp_cfg != self.sqp_cfg:
+            warm, _, _, _ = self._solve_step(
+                warm, x0, x_sp, u_start, sigma0,
+                con_pars[0] if con_pars.shape[0] else
+                jnp.zeros(self.num_con_par, self.dtype),
+                consts, cfg=self.init_sqp_cfg)
 
         def step(carry, inp):
             x, warm, u_prev = carry
