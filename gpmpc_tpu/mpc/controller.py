@@ -125,6 +125,7 @@ class MPC:
                  gp: Optional[GP] = None,
                  Q=None, P=None, R=None, S=None,
                  lam: float = 1e3,
+                 lam_state: Optional[float] = None,
                  ulb=None, uub=None, xlb=None, xub=None,
                  terminal_constraint: Optional[float] = None,
                  feedback: bool = True,
@@ -187,7 +188,14 @@ class MPC:
         self.P = mat(P, self.Nx, 0.0) if P is not None else self.Q * 10.0
         self.R = mat(R, self.Nu, 0.01)
         self.S = mat(S, self.Nu, 0.0) if S is not None else None
+        # soft state constraints [SURVEY C6 'slack variables for soft state
+        # constraints', penalties lam/lam_state]: with lam_state set, the
+        # (tightened) state box enters the cost as a quadratic violation
+        # penalty instead of the hard AL constraint set — the stage-separable
+        # analog of the reference's slack formulation (a quadratic slack
+        # penalty eliminated analytically).
         self.lam = float(lam)
+        self.lam_state = None if lam_state is None else float(lam_state)
         # delta-u penalty -> augment the state with the previous input so the
         # NLP stays stage-separable (Riccati-factorable)
         self.aug = self.S is not None
@@ -381,6 +389,11 @@ class MPC:
             if self.aug:
                 dd = u - u_prev
                 c = c + dd @ c0.s @ dd
+            if self.lam_state is not None:
+                mx = params.margins_x[t]
+                viol = (jnp.maximum(x - (c0.xub - mx), 0.0)
+                        + jnp.maximum((c0.xlb + mx) - x, 0.0)) / c0.x_scale
+                c = c + self.lam_state * jnp.sum(viol * viol)
             return c
 
         def terminal_cost(xa, params: MPCParams):
@@ -388,20 +401,29 @@ class MPC:
             x, _ = self._split(xa)
             sig = params.sigmas[nt]
             if self.cost_func == "quad":
-                return cost_lib.expected_quadratic(x, sig, params.x_sp, c0.p)
-            return cost_lib.expected_saturating(x, sig, params.x_sp, c0.p)
+                c = cost_lib.expected_quadratic(x, sig, params.x_sp, c0.p)
+            else:
+                c = cost_lib.expected_saturating(x, sig, params.x_sp, c0.p)
+            if self.lam_state is not None:
+                mx = params.margins_x[nt]
+                viol = (jnp.maximum(x - (c0.xub - mx), 0.0)
+                        + jnp.maximum((c0.xlb + mx) - x, 0.0)) / c0.x_scale
+                c = c + self.lam_state * jnp.sum(viol * viol)
+            return c
+
+        hard_state = self.lam_state is None  # soft -> penalty in the cost
 
         def stage_ineq(xa, u, t, params: MPCParams):
             c0 = params.consts
             x, _ = self._split(xa)
             mx = params.margins_x[t]
             mu_m = params.margins_u[t]
-            g = [
-                (x - (c0.xub - mx)) / c0.x_scale,
-                ((c0.xlb + mx) - x) / c0.x_scale,
-                (u - (c0.uub - mu_m)) / c0.u_scale,
-                ((c0.ulb + mu_m) - u) / c0.u_scale,
-            ]
+            g = []
+            if hard_state:
+                g += [(x - (c0.xub - mx)) / c0.x_scale,
+                      ((c0.xlb + mx) - x) / c0.x_scale]
+            g += [(u - (c0.uub - mu_m)) / c0.u_scale,
+                  ((c0.ulb + mu_m) - u) / c0.u_scale]
             if self.user_ineq is not None:
                 g.append(self.user_ineq(x, params.sigmas[t], u,
                                         params.con_par))
@@ -411,18 +433,22 @@ class MPC:
             c0 = params.consts
             x, _ = self._split(xa)
             mx = params.margins_x[nt]
-            g = [
-                (x - (c0.xub - mx)) / c0.x_scale,
-                ((c0.xlb + mx) - x) / c0.x_scale,
-            ]
+            g = []
+            if hard_state:
+                g += [(x - (c0.xub - mx)) / c0.x_scale,
+                      ((c0.xlb + mx) - x) / c0.x_scale]
             if self.terminal_constraint is not None:
                 # ||x_N - x_sp||^2 <= terminal_constraint [SURVEY C6, conf. M]
                 e = x - params.x_sp
                 g.append(jnp.array([e @ e - self.terminal_constraint]))
+            if not g:
+                return jnp.zeros((0,), xa.dtype)
             return jnp.concatenate(g)
 
-        n_ineq = 2 * nx + 2 * nu + self.num_user_con
-        n_term = 2 * nx + (1 if self.terminal_constraint is not None else 0)
+        n_state_con = 2 * nx if hard_state else 0
+        n_ineq = n_state_con + 2 * nu + self.num_user_con
+        n_term = n_state_con + (1 if self.terminal_constraint is not None
+                                else 0)
         self.problem = al_sqp.TrajectoryProblem(
             nx=self.Nxa, nu=nu, horizon=nt,
             dynamics=dynamics, stage_cost=stage_cost,

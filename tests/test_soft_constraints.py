@@ -1,0 +1,52 @@
+"""Soft state constraints (lam_state) [SURVEY C6 'soft constraints']."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpmpc_tpu import MPC, Model
+from gpmpc_tpu.systems import four_tank_ode
+
+DT = 3.0
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
+                 R=np.diag([1e-3] * 4), clip_negative=True,
+                 dtype=jnp.float64, integrator_substeps=10)
+
+
+def _mpc(model, **kw):
+    return MPC(horizon=5 * DT, model=model, gp=None, discrete_method="rk4",
+               Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+               ulb=[0.0, 0.0], uub=[8.0, 8.0],
+               xlb=[0.5, 0.5, 0.1, 0.1], xub=[25.0, 25.0, 8.0, 8.0],
+               feedback=False, percentile=None, cov_updates=1, **kw)
+
+
+def test_soft_recovers_from_infeasible_start(model):
+    """Start OUTSIDE the state box: the soft controller must run cleanly
+    (no hard-constraint fight at an unmovable x0) and recover into the box."""
+    mpc = _mpc(model, lam_state=100.0)
+    x0 = np.array([30.0, 9.0, 1.0, 1.0])  # h1 above xub=25
+    xs, us = mpc.solve(x0=x0, sim_time=12 * DT,
+                       x_sp=np.array([12.4, 12.7, 1.8, 1.4]), noise=False)
+    xs = np.asarray(xs)
+    assert np.all(np.isfinite(xs))
+    assert xs[-1, 0] < 25.0, "did not recover into the box"
+    # steadily drains toward the setpoint (tank physics bound the rate)
+    assert xs[-1, 0] < xs[0, 0] - 10.0
+
+
+def test_soft_and_hard_agree_when_inactive(model):
+    """Away from the bounds, soft and hard formulations give the same
+    closed loop."""
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    xs_hard, _ = _mpc(model).solve(x0=x0, sim_time=8 * DT, x_sp=x_sp,
+                                   noise=False)
+    xs_soft, _ = _mpc(model, lam_state=1e3).solve(x0=x0, sim_time=8 * DT,
+                                                  x_sp=x_sp, noise=False)
+    np.testing.assert_allclose(np.asarray(xs_hard), np.asarray(xs_soft),
+                               atol=1e-3)
