@@ -43,19 +43,19 @@ def _round_up(x: int, m: int) -> int:
 
 # ------------------------------------------------------------------ gram
 
-def _gram_kernel(xs_ref, diag_ref, out_ref):
+def _gram_kernel(xi_ref, xj_ref, diag_ref, out_ref):
     """One (TN, TN) tile of  sf2*exp(-0.5*d2(xs_i, xs_j)) (+ diag term).
 
-    ``xs`` is pre-scaled by 1/ell; ``diag_ref`` is a (1,1) SMEM scalar with
-    the extra diagonal mass (sf2 + sn2 + jitter - computed k(x,x)) applied
-    on the diagonal tile only.
+    The SAME pre-scaled point array feeds two BlockSpecs — a row tile and a
+    column tile — so no in-kernel dynamic slicing is needed (Mosaic does not
+    lower ``dynamic_slice`` on values).  ``diag_ref`` holds (sf2, extra
+    diagonal mass) in SMEM; the diagonal is overwritten on diagonal tiles.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    xi = xs_ref[...]                      # whole (Np, Dp) block in VMEM
+    xi_t = xi_ref[...]                    # (TN, Dp) row tile
+    xj_t = xj_ref[...]                    # (TN, Dp) col tile
     tn = out_ref.shape[0]
-    xi_t = jax.lax.dynamic_slice_in_dim(xi, i * tn, tn, 0)
-    xj_t = jax.lax.dynamic_slice_in_dim(xi, j * tn, tn, 0)
     cross = jnp.dot(xi_t, xj_t.T, preferred_element_type=jnp.float32)
     ni = jnp.sum(xi_t * xi_t, axis=1, keepdims=True)
     nj = jnp.sum(xj_t * xj_t, axis=1, keepdims=True)
@@ -100,7 +100,9 @@ def se_ard_gram_pallas(x: jnp.ndarray, ell: jnp.ndarray, sf2,
         _gram_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((npad, dpad), lambda i, j: (0, 0),
+            pl.BlockSpec((tn, dpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dpad), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -109,77 +111,96 @@ def se_ard_gram_pallas(x: jnp.ndarray, ell: jnp.ndarray, sf2,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, npad), jnp.float32),
         interpret=interpret,
-    )(xs, diag)
+    )(xs, xs, diag)
     return out[:n, :n].astype(dtype)
 
 
 # -------------------------------------------------------------- cholesky
 
 def _chol_kernel(a_ref, out_ref, *, n_blocks: int, tb: int):
-    """Right-looking blocked Cholesky, whole matrix resident in VMEM."""
-    a = a_ref[...]
+    """Right-looking blocked Cholesky, whole matrix resident in VMEM.
 
-    def panel_step(k, a):
-        # --- factor diagonal block (unblocked, in-register) ---
-        akk = jax.lax.dynamic_slice(a, (k * tb, k * tb), (tb, tb))
+    Mosaic lowering constraints shape the implementation: dynamic slicing is
+    only available through REF indexing (``ref[pl.ds(off, size)]``), and
+    per-column access inside the unblocked factorization uses masked
+    full-block ops (broadcasted-iota compare + reduce) instead of value
+    dynamic-slices.  Panel work is O(tb^2) masked VPU ops per column; the
+    trailing SYRK update is a full (N, tb) x (tb, N) MXU matmul per panel.
+    """
+    nb = out_ref.shape[0]
+    out_ref[...] = a_ref[...]
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 1)
+    hot_t = jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
 
-        def chol_row(i, l):
-            # unblocked left-looking column update of the diagonal block:
-            # dii = sqrt(a[i,i] - sum_{j<i} l[i,j]^2)
-            # l[r,i] = (a[r,i] - sum_{j<i} l[r,j] l[i,j]) / dii   for r > i
-            li = jax.lax.dynamic_slice(l, (i, 0), (1, tb))[0]
-            col_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0)[:, 0]
-            mask_j = col_ids < i
-            li_masked = jnp.where(mask_j, li, 0.0)
-            dii = jnp.sqrt(jnp.maximum(l[i, i] - jnp.sum(li_masked ** 2),
-                                       1e-30))
-            lj_masked = jnp.where(mask_j[None, :], l, 0.0)
-            new_col = (l[:, i] - lj_masked @ li_masked) / dii
-            new_col = jnp.where(col_ids > i, new_col,
-                                jnp.where(col_ids == i, dii, l[:, i]))
-            return l.at[:, i].set(new_col)
+    def panel_step(k, _):
+        off = k * tb
 
-        lkk = jax.lax.fori_loop(0, tb, chol_row, akk)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 1)
-        lkk = jnp.where(rows >= cols, lkk, 0.0)
-        a = jax.lax.dynamic_update_slice(a, lkk, (k * tb, k * tb))
+        # --- factor the diagonal block (masked unblocked Cholesky) ---
+        akk = out_ref[pl.ds(off, tb), pl.ds(off, tb)]
 
-        # --- panel solve + trailing update (masked full-width ops) ---
-        # rows below the panel: A[k+1:, k] <- A[k+1:, k] L_kk^{-T}
-        # forward substitution against lkk^T, column by column
-        nb = a.shape[0]
-        below = jax.lax.dynamic_slice(a, (0, k * tb), (nb, tb))
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
-        below_mask = row_ids >= (k + 1) * tb
+        def chol_col(i, l):
+            # row/column i extracted via (1,tb) one-hot matmuls, all shapes
+            # kept 2D and scalars as (1,1) — Mosaic rejects 1D contractions
+            # and masked axis-reductions at these layouts
+            oh = (hot_t == i).astype(jnp.float32)                 # (1, tb)
+            row_i = jnp.dot(oh, l, preferred_element_type=jnp.float32)
+            col_i = jnp.dot(l, oh.T, preferred_element_type=jnp.float32)
+            li_masked = jnp.where(hot_t < i, row_i, 0.0)          # (1, tb)
+            lii = jnp.dot(row_i, oh.T,
+                          preferred_element_type=jnp.float32)     # (1, 1)
+            sumsq = jnp.dot(li_masked, li_masked.T,
+                            preferred_element_type=jnp.float32)
+            dii = jnp.sqrt(jnp.maximum(lii - sumsq, 1e-30))       # (1, 1)
+            lj_masked = jnp.where(cols_t < i, l, 0.0)
+            acc = jnp.dot(lj_masked, li_masked.T,
+                          preferred_element_type=jnp.float32)     # (tb, 1)
+            new_col = (col_i - acc) / dii
+            rowsel = rows_t[:, :1]                                # (tb, 1)
+            new_col = jnp.where(rowsel > i, new_col,
+                                jnp.where(rowsel == i,
+                                          jnp.broadcast_to(dii, (tb, 1)),
+                                          col_i))
+            return jnp.where(cols_t == i, new_col, l)
+
+        lkk = jax.lax.fori_loop(0, tb, chol_col, akk)
+        lkk = jnp.where(rows_t >= cols_t, lkk, 0.0)
+        out_ref[pl.ds(off, tb), pl.ds(off, tb)] = lkk
+
+        # --- panel solve: stripe[r, :] <- stripe[r, :] L_kk^{-T}, r below ---
+        stripe = out_ref[pl.ds(0, nb), pl.ds(off, tb)]       # (nb, tb)
+        below_mask = row_ids >= off + tb
+        cols_s = jax.lax.broadcasted_iota(jnp.int32, (nb, tb), 1)
 
         def solve_col(i, b):
-            # b[:, i] = (below[:, i] - sum_{j<i} b[:, j] lkk[i, j]) / lkk[i, i]
-            cols_b = jax.lax.broadcasted_iota(jnp.int32, (tb,), 0)
-            lrow = lkk[i]                          # (tb,)
-            lrow_masked = jnp.where(cols_b < i, lrow, 0.0)
-            acc = b @ lrow_masked
-            new = (b[:, i] - acc) / lkk[i, i]
-            return b.at[:, i].set(new)
+            oh = (hot_t == i).astype(jnp.float32)                 # (1, tb)
+            lrow = jnp.dot(oh, lkk, preferred_element_type=jnp.float32)
+            lrow_masked = jnp.where(hot_t < i, lrow, 0.0)         # (1, tb)
+            lii = jnp.dot(lrow, oh.T,
+                          preferred_element_type=jnp.float32)     # (1, 1)
+            b_col = jnp.dot(b, oh.T,
+                            preferred_element_type=jnp.float32)   # (nb, 1)
+            acc = jnp.dot(b, lrow_masked.T,
+                          preferred_element_type=jnp.float32)     # (nb, 1)
+            new = (b_col - acc) / lii
+            return jnp.where(cols_s == i, new, b)
 
-        panel = jax.lax.fori_loop(0, tb, solve_col, below)
-        panel = jnp.where(below_mask[:, None], panel, below)
-        a = jax.lax.dynamic_update_slice(a, panel, (0, k * tb))
+        panel = jax.lax.fori_loop(0, tb, solve_col, stripe)
+        panel = jnp.where(below_mask[:, None], panel, stripe)
+        out_ref[pl.ds(0, nb), pl.ds(off, tb)] = panel
 
-        # trailing update: A[k+1:, k+1:] -= panel panel^T (masked)
+        # --- trailing SYRK update on the MXU ---
         p_masked = jnp.where(below_mask[:, None], panel, 0.0)
         upd = jnp.dot(p_masked, p_masked.T,
                       preferred_element_type=jnp.float32)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)[0]
-        trail_mask = (row_ids[:, None] >= (k + 1) * tb) & \
-                     (col_ids[None, :] >= (k + 1) * tb)
-        a = a - jnp.where(trail_mask, upd, 0.0)
-        return a
+        out_ref[...] = out_ref[...] - upd
+        return 0
 
-    a = jax.lax.fori_loop(0, n_blocks, panel_step, a)
-    rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
-    out_ref[...] = jnp.where(rows >= cols, a, 0.0)
+    jax.lax.fori_loop(0, n_blocks, panel_step, 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    out_ref[...] = jnp.where(rows >= cols, out_ref[...], 0.0)
 
 
 def cholesky_pallas(a: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
