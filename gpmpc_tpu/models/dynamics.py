@@ -189,3 +189,28 @@ class Model:
         _, xp = jax.lax.scan(step, jnp.asarray(x0, self.dtype), u_seq)
         x_pred = jnp.concatenate([jnp.asarray(x0, self.dtype)[None], xp], 0)
         return x_true, x_pred
+
+    def plot_compare(self, x_true, x_pred, filename=None):
+        """Prediction-vs-simulation comparison plot [SURVEY C2 plotting,
+        §4 'visual validation']; host-side matplotlib."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        x_true = np.asarray(x_true)
+        x_pred = np.asarray(x_pred)
+        t = np.arange(x_true.shape[0]) * self.dt
+        fig, axes = plt.subplots(self.Nx, 1, sharex=True,
+                                 figsize=(8, 2.0 * self.Nx))
+        axes = np.atleast_1d(axes)
+        for i in range(self.Nx):
+            axes[i].plot(t, x_true[:, i], label=f"x{i} plant")
+            axes[i].plot(t, x_pred[:, i], "--", label=f"x{i} predicted")
+            axes[i].legend(loc="best", fontsize=7)
+        axes[-1].set_xlabel("time [s]")
+        fig.tight_layout()
+        if filename:
+            fig.savefig(filename, dpi=120)
+        plt.close(fig)
+        return fig

@@ -57,6 +57,38 @@ class StudyResult(NamedTuple):
     obj: jnp.ndarray        # (B, n_steps) NLP objectives
     gp_points: jnp.ndarray  # (B,) final conditioning counts
     mean_cost: jnp.ndarray  # () batch-mean cost (cross-device psum)
+    post: object            # batched OnlinePosterior (B-leading) for resume
+
+
+def save_study(path: str, result: StudyResult) -> None:
+    """Checkpoint a study (trajectories + per-rollout conditioned posteriors)
+    to ``.npz`` [SURVEY §5 'checkpoint/resume']."""
+    post_leaves, _ = jax.tree.flatten(result.post)
+    np.savez(path,
+             x_traj=np.asarray(result.x_traj),
+             u_traj=np.asarray(result.u_traj),
+             cost=np.asarray(result.cost),
+             obj=np.asarray(result.obj),
+             gp_points=np.asarray(result.gp_points),
+             mean_cost=np.asarray(result.mean_cost),
+             n_post_leaves=len(post_leaves),
+             **{f"post_{i}": np.asarray(l)
+                for i, l in enumerate(post_leaves)})
+
+
+def load_study(path: str, template_post) -> StudyResult:
+    """Load a study checkpoint; ``template_post`` (e.g. ``study.post0``)
+    supplies the posterior pytree structure."""
+    z = np.load(path)
+    n = int(z["n_post_leaves"])
+    _, treedef = jax.tree.flatten(template_post)
+    post = jax.tree.unflatten(
+        treedef, [jnp.asarray(z[f"post_{i}"]) for i in range(n)])
+    return StudyResult(
+        x_traj=jnp.asarray(z["x_traj"]), u_traj=jnp.asarray(z["u_traj"]),
+        cost=jnp.asarray(z["cost"]), obj=jnp.asarray(z["obj"]),
+        gp_points=jnp.asarray(z["gp_points"]),
+        mean_cost=jnp.asarray(z["mean_cost"]), post=post)
 
 
 class BatchedStudy:
@@ -128,7 +160,8 @@ class BatchedStudy:
             stage_ineq=stage_ineq, n_ineq=2 * self.Nu,
             u_guard=lambda p: (p.consts.u_guard_lo, p.consts.u_guard_hi))
 
-        self._run_jit = jax.jit(self._run, static_argnames=("n_steps",))
+        self._run_jit = jax.jit(self._run,
+                                static_argnames=("n_steps", "batched_post"))
 
     # ----------------------------------------------------------- rollouts
 
@@ -157,21 +190,30 @@ class BatchedStudy:
         e = xs[:-1] - x_sp
         cost = jnp.sum(jnp.einsum("ti,ij,tj->t", e, consts.q, e)
                        + jnp.einsum("ti,ij,tj->t", us, consts.r, us))
-        return xs, us, cost, objs, post.count
+        return xs, us, cost, objs, post
 
-    def _run(self, x0s, x_sp, noise_ws, post0, consts, n_steps):
-        xs, us, cost, objs, counts = jax.vmap(
-            lambda x0, w: self._rollout(x0, x_sp, w, post0, consts))(
-                x0s, noise_ws)
+    def _run(self, x0s, x_sp, noise_ws, post0, consts, n_steps,
+             batched_post):
+        roll = (lambda x0, w, p0: self._rollout(x0, x_sp, w, p0, consts))
+        if batched_post:
+            xs, us, cost, objs, post = jax.vmap(roll)(x0s, noise_ws, post0)
+        else:
+            xs, us, cost, objs, post = jax.vmap(
+                lambda x0, w: roll(x0, w, post0))(x0s, noise_ws)
         # batch-mean metric: under a dp-sharded batch this lowers to a psum
         # over the mesh (ICI collective)
         mean_cost = jnp.mean(cost)
         return StudyResult(x_traj=xs, u_traj=us, cost=cost, obj=objs,
-                           gp_points=counts, mean_cost=mean_cost)
+                           gp_points=post.count, mean_cost=mean_cost,
+                           post=post)
 
     def run(self, x0s, x_sp, n_steps: int,
             key: Optional[jax.Array] = None,
-            noise: bool = True) -> StudyResult:
+            noise: bool = True,
+            init_post=None) -> StudyResult:
+        """Run the study; ``init_post`` (a batched OnlinePosterior, e.g.
+        ``previous_result.post`` or :func:`load_study`'s) resumes rollouts
+        with their individually conditioned GPs [SURVEY §5 checkpoint]."""
         b = x0s.shape[0]
         x0s = jnp.asarray(x0s, self.dtype)
         x_sp = jnp.asarray(x_sp, self.dtype)
@@ -185,9 +227,13 @@ class BatchedStudy:
         else:
             noise_ws = jnp.zeros((b, n_steps, self.Nx), self.dtype)
 
+        post0 = self.post0 if init_post is None else init_post
         if self.mesh is not None:
             dp = NamedSharding(self.mesh, P("dp"))
             x0s = jax.device_put(x0s, dp)
             noise_ws = jax.device_put(noise_ws, dp)
-        return self._run_jit(x0s, x_sp, noise_ws, self.post0, self.consts,
-                             n_steps=n_steps)
+            if init_post is not None:
+                post0 = jax.tree.map(lambda a: jax.device_put(a, dp), post0)
+        return self._run_jit(x0s, x_sp, noise_ws, post0, self.consts,
+                             n_steps=n_steps,
+                             batched_post=init_post is not None)

@@ -1,0 +1,88 @@
+"""Smaller parity items: mean functions in training, DAE gating, model
+persistence round-trips, hyper pretty-print."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpmpc_tpu import GP, Model
+from gpmpc_tpu.models.mean_functions import (mean_features, mean_value,
+                                             num_mean_params)
+
+
+RNG = np.random.default_rng(21)
+
+
+def test_mean_function_features():
+    x = jnp.asarray(RNG.standard_normal((5, 3)))
+    assert mean_features(x, "zero").shape == (5, 0)
+    assert mean_features(x, "const").shape == (5, 1)
+    assert mean_features(x, "linear").shape == (5, 4)
+    assert mean_features(x, "poly").shape == (5, 7)
+    w = jnp.asarray(RNG.standard_normal(4))
+    np.testing.assert_allclose(
+        np.asarray(mean_value(x, w, "linear")),
+        np.asarray(x) @ np.asarray(w[:3]) + float(w[3]), atol=1e-12)
+    with pytest.raises(ValueError):
+        mean_features(x, "spline")
+
+
+def test_linear_mean_gp_extrapolates():
+    """A GP with a linear prior mean must extrapolate a linear trend far
+    outside the data, where a zero-mean GP falls back to zero
+    [SURVEY C3e mean functions]."""
+    x = RNG.uniform(-1, 1, size=(40, 1))
+    y = (3.0 * x[:, 0] + 1.0 + 0.01 * RNG.standard_normal(40))[:, None]
+    gp_lin = GP(x, y, mean_func="linear", multistart=2, max_iters=200,
+                seed=0, normalize=True)
+    far = jnp.asarray([4.0])
+    mu_lin, _ = gp_lin.predict(far)
+    assert abs(float(mu_lin[0]) - 13.0) < 0.5, float(mu_lin[0])
+
+
+def test_dae_gated():
+    with pytest.raises(NotImplementedError):
+        Model(Nx=1, Nu=1, ode=lambda x, u: -x, dt=0.1,
+              alg=lambda x, z, u: z)
+
+
+def test_gp_save_load_roundtrip(tmp_path):
+    x = RNG.uniform(-2, 2, size=(25, 2))
+    y = np.sin(x[:, :1]) + 0.01 * RNG.standard_normal((25, 1))
+    gp = GP(x, y, multistart=1, max_iters=80, seed=3)
+    path = os.path.join(tmp_path, "gp_model.npz")
+    gp.save_model(path)
+    gp2 = GP.load_model(path)
+    z = RNG.standard_normal(2)
+    mu1, var1 = gp.predict(z)
+    mu2, var2 = gp2.predict(z)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2),
+                               atol=1e-10)
+    assert gp2.get_size() == gp.get_size()
+
+
+def test_print_helpers(capsys):
+    x = RNG.uniform(-2, 2, size=(15, 2))
+    y = np.sin(x[:, :1])
+    gp = GP(x, y, multistart=1, max_iters=40, seed=0)
+    gp.print_hyper_parameters()
+    out = capsys.readouterr().out
+    assert "GP dim 0" in out and "sf2=" in out
+
+
+def test_model_predict_compare_and_plot(tmp_path):
+    model = Model(Nx=2, Nu=1,
+                  ode=lambda x, u: jnp.stack([x[1], -x[0] + u[0]]),
+                  dt=0.1, dtype=jnp.float64)
+    u_seq = jnp.zeros((20, 1))
+    x_true, x_pred = model.predict_compare(
+        jnp.array([1.0, 0.0]), u_seq, predictor=model.rk4)
+    np.testing.assert_allclose(np.asarray(x_true), np.asarray(x_pred),
+                               atol=1e-4)
+    f = os.path.join(tmp_path, "cmp.png")
+    model.plot_compare(x_true, x_pred, filename=f)
+    assert os.path.exists(f)

@@ -133,3 +133,31 @@ def test_sharded_study_matches_unsharded():
                                rtol=1e-9)
     # online conditioning actually grew the per-rollout data sets
     assert np.all(np.asarray(r_sh.gp_points) == 30 + 3)
+
+
+def test_study_checkpoint_resume(tmp_path):
+    """Checkpoint/resume [SURVEY §5]: resuming from a saved study must
+    continue with the individually conditioned per-rollout posteriors."""
+    import os
+    from gpmpc_tpu.parallel.batched import save_study, load_study
+
+    study = _tank_study()
+    x0s = np.tile(np.array([8.0, 9.0, 1.0, 1.0]), (2, 1))
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    r1 = study.run(x0s, x_sp, n_steps=2, noise=False)
+    path = os.path.join(tmp_path, "study.npz")
+    save_study(path, r1)
+    r1b = load_study(path, study.post0)
+    np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r1b.cost))
+
+    # resume: counts keep growing from the checkpointed posteriors
+    x_next = np.asarray(r1.x_traj[:, -1])
+    r2 = study.run(x_next, x_sp, n_steps=2, noise=False, init_post=r1b.post)
+    assert np.all(np.asarray(r2.gp_points) == 30 + 4)
+    # the shared prefix of conditioning points (initial 30 + 2 from the
+    # first segment) must match a continuous 4-step run exactly; later
+    # points may differ slightly because checkpoints restore the GP state
+    # but not the solver warm start
+    r_full = study.run(x0s, x_sp, n_steps=4, noise=False)
+    np.testing.assert_allclose(np.asarray(r_full.post.x[:, :32]),
+                               np.asarray(r2.post.x[:, :32]), atol=1e-9)
