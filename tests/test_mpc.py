@@ -159,3 +159,21 @@ def test_solve_step_standalone(tank_model):
         x = tank_model.integrate(x, u0)
         u_prev = u0
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_terminal_constraint(tank_model):
+    """terminal_constraint: ||x_N - x_sp||^2 <= c at the horizon end
+    [SURVEY C6, conf. M]."""
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    mpc = MPC(horizon=6 * DT, model=tank_model, gp=None,
+              discrete_method="rk4",
+              Q=np.diag([1.0, 1.0, 0.01, 0.01]), R=0.001 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[10.0, 10.0],
+              terminal_constraint=4.0,
+              feedback=False, percentile=None, cov_updates=1)
+    u0, warm, _, info = mpc.solve_step(np.array([10.0, 10.5, 1.2, 1.2]),
+                                       x_sp)
+    x_term = np.asarray(warm.x[-1, :4])
+    term_err = float(np.sum((x_term - x_sp) ** 2))
+    assert term_err <= 4.0 + 1e-3, f"terminal ball violated: {term_err}"
+    assert np.isfinite(float(info.obj))
