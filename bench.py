@@ -51,8 +51,8 @@ def main():
               xlb=[0.5, 0.5, 0.1, 0.1], xub=[16.0, 16.0, 8.0, 8.0],
               percentile=0.95, feedback=True, cov_updates=1,
               # warm-started receding horizon runs RTI-grade iteration
-              # budgets (2 AL rounds x 4 GN steps)
-              solver_opts=dict(al_iters=1, max_iters=2, ls_steps=4),
+              # budgets (single-Newton real-time iteration)
+              solver_opts=dict(al_iters=1, max_iters=1, ls_steps=4),
               dtype=dtype)
 
     x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
