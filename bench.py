@@ -52,7 +52,8 @@ def main():
               percentile=0.95, feedback=True, cov_updates=1,
               # warm-started receding horizon runs RTI-grade iteration
               # budgets (single-Newton real-time iteration)
-              solver_opts=dict(al_iters=1, max_iters=1, ls_steps=4),
+              solver_opts=dict(al_iters=1, max_iters=1, ls_steps=4,
+                               parallel_kkt=True),
               dtype=dtype)
 
     x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)

@@ -101,6 +101,48 @@ def chol_logdet_small(l: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * sum(jnp.log(l[..., i, i]) for i in range(n))
 
 
+def ge_solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Trace-time-unrolled general linear solve A X = B for small static n
+    via Gauss elimination with partial pivoting (mask-based row swaps).
+
+    For the NONSYMMETRIC small systems in the parallel Riccati combine
+    ((I + C J) with C, J PSD — positive-stable but not SPD).  Same rationale
+    as :func:`chol_small`: batched LAPACK HLOs are pathological on this
+    backend; these unrolled forms vmap transparently.
+    """
+    n = a.shape[-1]
+    vec = b.ndim == a.ndim - 1
+    if vec:
+        b = b[..., None]
+    m = jnp.concatenate([a, b], axis=-1)          # augmented (n, n+k)
+    rows = jnp.arange(n)
+    for j in range(n):
+        # partial pivot: largest |m[i, j]| over i >= j
+        col = jnp.abs(m[..., :, j])
+        col = jnp.where(rows >= j, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)              # (...,)
+        onehot_p = (rows == p[..., None]).astype(m.dtype)      # (..., n)
+        onehot_j = (rows == j).astype(m.dtype)
+        # swap rows j and p:  m += outer(e_j - e_p, row_p - row_j)
+        row_p = jnp.einsum("...i,...ik->...k", onehot_p, m)
+        row_j = jnp.einsum("...i,...ik->...k", onehot_j, m)
+        m = (m + (onehot_j - onehot_p)[..., :, None]
+             * (row_p - row_j)[..., None, :])
+        # eliminate below and above (Gauss-Jordan keeps the unroll simple)
+        pivot_row = jnp.einsum("...i,...ik->...k", onehot_j, m)
+        piv = pivot_row[..., j:j + 1]
+        piv = jnp.where(jnp.abs(piv) > 1e-300, piv, 1e-300)
+        pivot_row = pivot_row / piv
+        factors = m[..., :, j]                    # (..., n)
+        factors = jnp.where(rows == j, 0.0, factors)
+        m = m - factors[..., :, None] * pivot_row[..., None, :]
+        # set row j to the normalized pivot row
+        m = jnp.where((rows == j)[..., :, None],
+                      jnp.broadcast_to(pivot_row[..., None, :], m.shape), m)
+    x = m[..., n:]
+    return x[..., 0] if vec else x
+
+
 def cholupdate(l: jnp.ndarray, x: jnp.ndarray,
                downdate: bool = False) -> jnp.ndarray:
     """Rank-1 Cholesky update: factor of L L^T +/- x x^T in O(N^2).

@@ -235,7 +235,9 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
         def inner_body(carry):
             state, it, reg, done, nu_p = carry
             qp, defects = _build_qp(prob, state, params, mu, reg)
-            sol = riccati.solve(qp, jnp.zeros((prob.nx,), dtype), reg)
+            kkt_solve = (riccati.solve_parallel if cfg.parallel_kkt
+                         else riccati.solve)
+            sol = kkt_solve(qp, jnp.zeros((prob.nx,), dtype), reg)
 
             # adapt the merit defect weight to dominate the costates
             nu_new = jnp.maximum(nu_p, 10.0 * jnp.max(jnp.abs(qp.q_x)))

@@ -59,6 +59,8 @@ class SQPConfig:
     ls_steps: int = 8               # backtracking line-search trials
     ls_beta: float = 0.5
     ls_c1: float = 1e-4
+    parallel_kkt: bool = False      # associative-scan Riccati (O(log Nt)
+    #                                 depth; worthwhile at long horizons)
 
 
 @dataclasses.dataclass(frozen=True)

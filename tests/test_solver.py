@@ -247,3 +247,21 @@ def test_shift_state_warm_start():
     sh = shift_state(st, x0n)
     assert sh.x.shape == st.x.shape and sh.u.shape == st.u.shape
     np.testing.assert_array_equal(np.asarray(sh.x[0]), np.asarray(x0n))
+
+
+def test_parallel_riccati_matches_sequential():
+    """associative_scan Riccati == sequential sweep (SURVEY §2.3 SP-analog)."""
+    for nt, nx, nu in [(5, 3, 2), (20, 4, 2), (7, 2, 1)]:
+        qp = _random_stage_qp(nt, nx, nu)
+        dx0 = RNG.standard_normal(nx) * 0.1
+        seq = riccati.solve(qp, jnp.array(dx0), 1e-6)
+        par = riccati.solve_parallel(qp, jnp.array(dx0), 1e-6)
+        assert bool(par.ok)
+        np.testing.assert_allclose(np.asarray(par.du), np.asarray(seq.du),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(par.dx), np.asarray(seq.dx),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(par.gain_k),
+                                   np.asarray(seq.gain_k), atol=1e-7)
+        np.testing.assert_allclose(float(par.exp_dec), float(seq.exp_dec),
+                                   rtol=1e-8)
