@@ -181,8 +181,14 @@ def propagate_em(post: gp_core.GPPosterior, norm: Normalization,
         diag_term = sf2[a] - jnp.sum(post.inv_k[a] * q2)
         return val + jnp.where(a == b, diag_term, 0.0)
 
-    idx = jnp.arange(ny)
-    sigma_n = jax.vmap(lambda a: jax.vmap(lambda b: pair(a, b))(idx))(idx)
+    # symmetry: only the Ny(Ny+1)/2 upper-triangle pairs are computed
+    # (static index lists), then scattered into the symmetric matrix
+    import numpy as _np
+    iu, ju = _np.triu_indices(ny)
+    vals = jax.vmap(pair)(jnp.asarray(iu), jnp.asarray(ju))
+    sigma_n = jnp.zeros((ny, ny), dtype=dtype)
+    sigma_n = sigma_n.at[iu, ju].set(vals)
+    sigma_n = sigma_n.at[ju, iu].set(vals)
 
     # ---- denormalize ----------------------------------------------------
     mu = norm.y_mean + norm.y_std * mu_n
