@@ -18,7 +18,6 @@ error rather than silently misintegrating).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

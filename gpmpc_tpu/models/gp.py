@@ -23,7 +23,6 @@ import numpy as np
 
 from gpmpc_tpu.models import gp_core
 from gpmpc_tpu.models.propagate import Normalization, get_propagator
-from gpmpc_tpu.models.mean_functions import num_mean_params
 from gpmpc_tpu.utils.config import GPConfig
 
 

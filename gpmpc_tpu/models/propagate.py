@@ -33,8 +33,6 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu.models import gp_core
-from gpmpc_tpu.models.mean_functions import mean_value
-from gpmpc_tpu.ops.kernels import se_ard_cross
 from gpmpc_tpu.ops.chol import (chol_small, tri_solve_small,
                                 chol_logdet_small)
 from gpmpc_tpu.utils.config import GPConfig

@@ -25,11 +25,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from gpmpc_tpu.models import gp_core
 from gpmpc_tpu.models.propagate import Normalization
 from gpmpc_tpu.ops.chol import tri_solve
 from gpmpc_tpu.ops.kernels import se_ard_cross
-from gpmpc_tpu.utils.config import GPConfig
 
 _SENTINEL = 1e6  # normalized-space position of unused slots
 

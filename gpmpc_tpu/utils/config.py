@@ -9,7 +9,7 @@ a config can be closed over by ``jax.jit`` without retracing surprises.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
