@@ -1,4 +1,4 @@
-"""Online (streaming) GP conditioning with fixed-capacity factors.
+"""Online (streaming) GP conditioning with fixed-capacity posteriors.
 
 No reference counterpart — the reference GP is frozen after construction
 ("no online/streaming conditioning" [SURVEY C5]); this exists for BASELINE
@@ -6,16 +6,26 @@ config 5 (1024 parallel closed-loop rollouts *with online GP conditioning*).
 
 Design: everything is fixed-shape so it jits and vmaps.  The posterior is
 padded to a static ``capacity``; unused slots hold sentinel inputs far away
-in normalized space (kernel values underflow to exactly 0 after the -0.5*d^2
-exponent) and identity rows in the Cholesky factor, so
+in normalized space (kernel values underflow to exactly 0) and identity
+rows in the precision matrix, so
 
-    K_pad = blkdiag(K_n, I),   L_pad = blkdiag(chol(K_n), I),
+    K_pad = blkdiag(K_n, I)   =>   invK_pad = blkdiag(invK_n, I),
 
-and padded predictions equal the unpadded ones.  Conditioning on a new point
-at slot m = count is then a *bordered* Cholesky insert done with full-size
-ops: one (C, C) triangular solve for the new row + an O(C^2) alpha refresh —
-O(C^2) per observation instead of O(C^3) refactorization, vectorized over
-the Ny output dims and over thousands of rollouts by ``vmap``.
+and padded predictions equal the unpadded ones.  Conditioning on a new
+point at slot m = count is a *bordered inverse* (Schur-complement) update:
+
+    K' = [[K, k], [k', kappa]],
+    invK' = [[invK + w w'/s, -w/s], [-w'/s, 1/s]],
+    w = invK k,  s = kappa - k'w,
+
+O(C^2) in pure matmuls/outer products.  This matters on this TPU backend:
+the earlier Cholesky-factor variant needed batched triangular solves, which
+are pathologically slow under vmap — the inverse form took the batched
+study from ~10.5k to far higher rollout-solve throughput (see
+benchmarks/RESULTS.md).  Numerical note: repeated rank-1 inverse updates
+accumulate roundoff faster than factor updates; per-rollout update counts
+in the hundreds are fine in f32 (validated against batch retraining in
+tests), refresh offline for long-lived posteriors.
 """
 
 from __future__ import annotations
@@ -26,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu.models.propagate import Normalization
-from gpmpc_tpu.ops.chol import tri_solve
 from gpmpc_tpu.ops.kernels import se_ard_cross
 
 _SENTINEL = 1e6  # normalized-space position of unused slots
@@ -37,8 +46,8 @@ class OnlinePosterior(NamedTuple):
 
     x: jnp.ndarray        # (C, D) normalized inputs (sentinel-padded)
     y: jnp.ndarray        # (C, Ny) normalized targets (zero-padded)
-    chol: jnp.ndarray     # (Ny, C, C) padded lower Cholesky of K + sn2 I
-    alpha: jnp.ndarray    # (Ny, C) K^{-1} y (zero on unused slots)
+    inv_k: jnp.ndarray    # (Ny, C, C) padded inverse of K + sn2 I
+    alpha: jnp.ndarray    # (Ny, C) invK y (zero on unused slots)
     count: jnp.ndarray    # () int32 number of live points
     log_ell: jnp.ndarray  # (Ny, D)
     log_sf2: jnp.ndarray  # (Ny,)
@@ -57,14 +66,13 @@ def from_gp(gp, capacity: int) -> Tuple[OnlinePosterior, Normalization]:
     x_pad = jnp.full((c, d), _SENTINEL, dtype).at[:n].set(gp.Xn)
     y_pad = jnp.zeros((c, ny), dtype).at[:n].set(gp.Yn)
     eye = jnp.eye(c, dtype=dtype)
-    chol_pad = jnp.broadcast_to(eye, (ny, c, c))
-    chol_pad = chol_pad.at[:, :n, :n].set(gp.post.chol)
-    # zero out the off-diagonal coupling introduced by broadcasting trick
-    chol_pad = chol_pad.at[:, n:, :n].set(0.0)
+    invk_pad = jnp.broadcast_to(eye, (ny, c, c))
+    invk_pad = invk_pad.at[:, :n, :n].set(gp.post.inv_k)
+    invk_pad = invk_pad.at[:, n:, :n].set(0.0)
     alpha_pad = jnp.zeros((ny, c), dtype).at[:, :n].set(gp.post.alpha)
     sn2 = jnp.exp(gp.hyper.log_sn2) + gp.cfg.min_noise
     post = OnlinePosterior(
-        x=x_pad, y=y_pad, chol=chol_pad, alpha=alpha_pad,
+        x=x_pad, y=y_pad, inv_k=invk_pad, alpha=alpha_pad,
         count=jnp.asarray(n, jnp.int32),
         log_ell=gp.hyper.log_ell, log_sf2=gp.hyper.log_sf2, sn2=sn2)
     return post, gp.norm
@@ -75,15 +83,15 @@ def predict(post: OnlinePosterior, norm: Normalization,
     """Raw-space predictive mean/variance at one point: (D,) -> ((Ny,), (Ny,))."""
     zn = (z_raw - norm.z_mean) / norm.z_std
 
-    def one(log_ell, log_sf2, chol_l, alpha):
+    def one(log_ell, log_sf2, inv_k, alpha):
         ks = se_ard_cross(zn[None], post.x, jnp.exp(log_ell),
                           jnp.exp(log_sf2))[0]
         mu = jnp.dot(ks, alpha)
-        v = tri_solve(chol_l, ks)
-        var = jnp.maximum(jnp.exp(log_sf2) - jnp.dot(v, v), 0.0)
+        # matmul variance path — no triangular solves (backend pathology)
+        var = jnp.maximum(jnp.exp(log_sf2) - jnp.dot(ks, inv_k @ ks), 0.0)
         return mu, var
 
-    mu_n, var_n = jax.vmap(one)(post.log_ell, post.log_sf2, post.chol,
+    mu_n, var_n = jax.vmap(one)(post.log_ell, post.log_sf2, post.inv_k,
                                 post.alpha)
     return norm.y_mean + norm.y_std * mu_n, (norm.y_std ** 2) * var_n
 
@@ -99,8 +107,9 @@ def condition(post: OnlinePosterior, norm: Normalization,
               z_raw: jnp.ndarray, y_raw: jnp.ndarray) -> OnlinePosterior:
     """Bayesian update on one observed transition (z, y).
 
-    Bordered Cholesky insert at slot ``count`` + O(C^2) alpha refresh; if the
-    buffer is full the observation is dropped (saturating policy).
+    Bordered Schur-complement inverse update at slot ``count`` + O(C^2)
+    alpha refresh; if the buffer is full the observation is dropped
+    (saturating policy).
     """
     c = post.x.shape[0]
     m = post.count
@@ -113,28 +122,28 @@ def condition(post: OnlinePosterior, norm: Normalization,
     y_new = post.y.at[idx].set(jnp.where(full, post.y[idx], yn))
 
     rows = jnp.arange(c)
+    live_new = rows < jnp.minimum(m + 1, c)
 
-    def one(log_ell, log_sf2, sn2, chol_l, y_col):
+    def one(log_ell, log_sf2, sn2, inv_k, y_col):
         ell = jnp.exp(log_ell)
         sf2 = jnp.exp(log_sf2)
-        # kernel vector vs live points only (sentinel slots underflow to 0,
-        # but mask anyway for exactness at the insert slot)
         ks = se_ard_cross(zn[None], x_new, ell, sf2)[0]
-        ks = jnp.where(rows < m, ks, 0.0)
-        l21 = tri_solve(chol_l, ks)                       # (C,)
-        l22 = jnp.sqrt(jnp.maximum(sf2 + sn2 - jnp.dot(l21, l21), 1e-12))
-        new_row = jnp.where(rows < m, l21, 0.0)
-        new_row = jnp.where(rows == idx, l22, new_row)
-        chol_new = chol_l.at[idx].set(jnp.where(full, chol_l[idx], new_row))
-        # alpha refresh: two fixed-size triangular solves on padded system
-        yy = jnp.where(rows < jnp.minimum(m + 1, c), y_col, 0.0)
-        alpha = tri_solve(chol_new, tri_solve(chol_new, yy), trans=True)
-        alpha = jnp.where(rows < jnp.minimum(m + 1, c), alpha, 0.0)
-        return chol_new, alpha
+        ks = jnp.where(rows < m, ks, 0.0)          # vs live points only
+        w = inv_k @ ks                             # (C,) zero beyond m
+        s = jnp.maximum(sf2 + sn2 - jnp.dot(ks, w), 1e-10)
+        inv_upd = inv_k + jnp.outer(w, w) / s
+        border = -w / s
+        border = jnp.where(rows == idx, 1.0 / s, border)
+        inv_upd = inv_upd.at[idx, :].set(border).at[:, idx].set(border)
+        inv_new = jnp.where(full, inv_k, inv_upd)
+        yy = jnp.where(live_new, y_col, 0.0)
+        alpha = inv_new @ yy
+        alpha = jnp.where(live_new, alpha, 0.0)
+        return inv_new, alpha
 
-    chol_new, alpha_new = jax.vmap(one)(
-        post.log_ell, post.log_sf2, post.sn2, post.chol, y_new.T)
+    inv_new, alpha_new = jax.vmap(one)(
+        post.log_ell, post.log_sf2, post.sn2, post.inv_k, y_new.T)
     return OnlinePosterior(
-        x=x_new, y=y_new, chol=chol_new, alpha=alpha_new,
+        x=x_new, y=y_new, inv_k=inv_new, alpha=alpha_new,
         count=jnp.where(full, m, m + 1).astype(jnp.int32),
         log_ell=post.log_ell, log_sf2=post.log_sf2, sn2=post.sn2)
