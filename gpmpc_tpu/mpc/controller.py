@@ -142,6 +142,7 @@ class MPC:
                  op_x=None, op_u=None,
                  include_noise_cov: bool = True,
                  cov_updates: int = 2,
+                 online_capacity: Optional[int] = None,
                  dtype=None):
         self.model = model
         self.gp = gp
@@ -281,6 +282,20 @@ class MPC:
             bd=self.Bd,
             post=gp.post if gp is not None else None,
             norm=gp.norm if gp is not None else None)
+
+        # online (adaptive) GP: with ``online_capacity`` set, the closed
+        # loop conditions the GP posterior on every observed transition
+        # (Schur-complement inverse updates; gpmpc_tpu.parallel.online_gp).
+        # Beyond-reference capability — the reference GP is frozen
+        # [SURVEY C5]; this is single-rollout adaptive GP-MPC.
+        self.online_capacity = online_capacity
+        if online_capacity is not None:
+            if gp is None or dm not in ("gp", "hybrid"):
+                raise ValueError("online_capacity requires a GP-based "
+                                 "discrete_method")
+            from gpmpc_tpu.parallel import online_gp as _og
+            self._og = _og
+            self.online_post0, _ = _og.from_gp(gp, online_capacity)
 
         self._build_problem()
         self._solve_step_jit = jax.jit(self._solve_step)
@@ -554,7 +569,7 @@ class MPC:
     # ------------------------------------------------------------ closed loop
 
     def _closed_loop(self, x0, x_sp, u0_guess, con_pars, noise_w, consts,
-                     n_steps, noise):
+                     opost, n_steps, noise):
         """The fused receding-horizon loop: one ``lax.scan`` over control
         steps — solve, apply u0* to the plant, shift, repeat
         [SURVEY §3.4; BASELINE 'zero host round-trips']."""
@@ -572,10 +587,15 @@ class MPC:
                 consts, cfg=self.init_sqp_cfg)
 
         def step(carry, inp):
-            x, warm, u_prev = carry
+            x, warm, u_prev, opost = carry
             con_par, w = inp
+            if self.online_capacity is not None:
+                consts_k = consts._replace(
+                    post=self._og.as_gp_posterior(opost))
+            else:
+                consts_k = consts
             warm, u_cmd, sigmas, info = self._solve_step(
-                warm, x, x_sp, u_prev, sigma0, con_par, consts)
+                warm, x, x_sp, u_prev, sigma0, con_par, consts_k)
             # physical actuator saturation: the plant can only receive inputs
             # inside the hard box, whatever the solver's residual violation
             u_cmd = jnp.clip(u_cmd, consts.ulb, consts.uub)
@@ -584,13 +604,18 @@ class MPC:
                 x_next = x_next + w
             if self.model.clip_negative:
                 x_next = jnp.maximum(x_next, 0.0)
+            if self.online_capacity is not None:
+                # condition on the transition actually observed (incl. noise)
+                z_obs = jnp.concatenate([x, u_cmd])
+                opost = self._og.condition(opost, consts.norm, z_obs, x_next)
             out = (x, u_cmd, sigmas[1, :self.Nx, :self.Nx], info)
-            return (x_next, warm, u_cmd), out
+            return (x_next, warm, u_cmd, opost), out
 
-        (x_last, _, _), (xs, us, sig1s, infos) = jax.lax.scan(
-            step, (x0, warm, u_start), (con_pars, noise_w), length=n_steps)
+        (x_last, _, _, opost), (xs, us, sig1s, infos) = jax.lax.scan(
+            step, (x0, warm, u_start, opost), (con_pars, noise_w),
+            length=n_steps)
         xs = jnp.concatenate([xs, x_last[None]], axis=0)
-        return xs, us, sig1s, infos
+        return xs, us, sig1s, infos, opost
 
     def solve(self, x0, sim_time, x_sp, u0=None, noise: bool = True,
               con_par_func: Optional[Callable] = None,
@@ -624,12 +649,15 @@ class MPC:
         noise_w = (jax.random.normal(key, (n_steps, self.Nx), self.dtype)
                    @ chol_r.T)
 
+        opost = (self.online_post0 if self.online_capacity is not None
+                 else None)
         t_start = time.perf_counter()
-        xs, us, sig1s, infos = self._closed_loop_jit(
-            x0, x_sp, u0_guess, con_pars, noise_w, self.consts,
+        xs, us, sig1s, infos, opost = self._closed_loop_jit(
+            x0, x_sp, u0_guess, con_pars, noise_w, self.consts, opost,
             n_steps=n_steps, noise=noise)
         xs.block_until_ready()
         wall = time.perf_counter() - t_start
+        self.online_post = opost
 
         self._last_run = {
             "x_sim": np.asarray(xs), "u_sim": np.asarray(us),
@@ -642,6 +670,8 @@ class MPC:
             "x_sp": np.asarray(x_sp),
             "wall_time_total": wall,
             "wall_time_per_step": wall / max(n_steps, 1),
+            "gp_points": (int(opost.count)
+                          if self.online_capacity is not None else None),
         }
         return xs, us
 

@@ -78,6 +78,23 @@ def from_gp(gp, capacity: int) -> Tuple[OnlinePosterior, Normalization]:
     return post, gp.norm
 
 
+def as_gp_posterior(post: OnlinePosterior):
+    """View an OnlinePosterior as a :class:`gp_core.GPPosterior` so the
+    ME/TA/EM propagation stack runs on it unchanged.
+
+    Valid because the whole prediction/propagation path is invK-based on
+    this backend (no triangular solves); the ``chol`` field is filled with
+    ``inv_k`` as a placeholder and MUST NOT be consumed downstream.
+    """
+    from gpmpc_tpu.models import gp_core
+    hypers = gp_core.GPHypers(
+        log_ell=post.log_ell, log_sf2=post.log_sf2,
+        log_sn2=jnp.log(post.sn2), mean_w=jnp.zeros(
+            post.log_sf2.shape + (0,), post.x.dtype))
+    return gp_core.GPPosterior(x=post.x, chol=post.inv_k, alpha=post.alpha,
+                               inv_k=post.inv_k, hypers=hypers)
+
+
 def predict(post: OnlinePosterior, norm: Normalization,
             z_raw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raw-space predictive mean/variance at one point: (D,) -> ((Ny,), (Ny,))."""
@@ -104,12 +121,22 @@ def mean_fn(post: OnlinePosterior, norm: Normalization):
 
 
 def condition(post: OnlinePosterior, norm: Normalization,
-              z_raw: jnp.ndarray, y_raw: jnp.ndarray) -> OnlinePosterior:
+              z_raw: jnp.ndarray, y_raw: jnp.ndarray,
+              novelty_threshold: float = 1e-6) -> OnlinePosterior:
     """Bayesian update on one observed transition (z, y).
 
     Bordered Schur-complement inverse update at slot ``count`` + O(C^2)
-    alpha refresh; if the buffer is full the observation is dropped
-    (saturating policy).
+    alpha refresh.  The observation is DROPPED when (a) the buffer is full
+    (saturating policy), or (b) it fails the novelty gate: if the Schur
+    complement s = k** - k*' invK k* is a tiny fraction of the prior
+    variance, the point is (numerically) linearly dependent on the existing
+    set — it adds no information, and folding it in amplifies roundoff by
+    1/s per update, which compounds catastrophically at steady state
+    (observed: 1e143 blow-ups on near-duplicate points).  This is the
+    classic kernel linear-independence test of online sparse GPs
+    (Csato & Opper).  The gate is global across output dims (the slot
+    insert is shared): min_d s_d / (sf2_d + sn2_d) must exceed the
+    threshold.
     """
     c = post.x.shape[0]
     m = post.count
@@ -118,32 +145,55 @@ def condition(post: OnlinePosterior, norm: Normalization,
 
     zn = (z_raw - norm.z_mean) / norm.z_std
     yn = (y_raw - norm.y_mean) / norm.y_std
-    x_new = post.x.at[idx].set(jnp.where(full, post.x[idx], zn))
-    y_new = post.y.at[idx].set(jnp.where(full, post.y[idx], yn))
 
     rows = jnp.arange(c)
+
+    # --- novelty gate (per dim, combined globally) ------------------------
+    # accept only if the point is informative in EVERY dim: its prior-
+    # conditional variance s must exceed both a noise-relative floor (3 sn2
+    # — blocks the duplicate-compounding that blows up the inverse form)
+    # and a signal-relative floor (novelty_threshold * (sf2+sn2) — protects
+    # when the learned sn2 is absurdly tiny).
+    def schur_ok(log_ell, log_sf2, sn2, inv_k):
+        ell = jnp.exp(log_ell)
+        sf2 = jnp.exp(log_sf2)
+        # kernel vs the CURRENT live points (insert slot still sentinel)
+        ks = se_ard_cross(zn[None], post.x, ell, sf2)[0]
+        ks = jnp.where(rows < m, ks, 0.0)
+        w = inv_k @ ks
+        s = sf2 + sn2 - jnp.dot(ks, w)
+        return s > jnp.maximum(3.0 * sn2,
+                               novelty_threshold * (sf2 + sn2))
+
+    ok = jax.vmap(schur_ok)(post.log_ell, post.log_sf2, post.sn2,
+                            post.inv_k)
+    add = (~full) & jnp.all(ok)
+
+    x_new = post.x.at[idx].set(jnp.where(add, zn, post.x[idx]))
+    y_new = post.y.at[idx].set(jnp.where(add, yn, post.y[idx]))
     live_new = rows < jnp.minimum(m + 1, c)
 
-    def one(log_ell, log_sf2, sn2, inv_k, y_col):
+    def one(log_ell, log_sf2, sn2, inv_k, y_col, alpha_old):
         ell = jnp.exp(log_ell)
         sf2 = jnp.exp(log_sf2)
         ks = se_ard_cross(zn[None], x_new, ell, sf2)[0]
         ks = jnp.where(rows < m, ks, 0.0)          # vs live points only
         w = inv_k @ ks                             # (C,) zero beyond m
-        s = jnp.maximum(sf2 + sn2 - jnp.dot(ks, w), 1e-10)
+        s = jnp.maximum(sf2 + sn2 - jnp.dot(ks, w), 1e-12 * (sf2 + sn2))
         inv_upd = inv_k + jnp.outer(w, w) / s
         border = -w / s
         border = jnp.where(rows == idx, 1.0 / s, border)
         inv_upd = inv_upd.at[idx, :].set(border).at[:, idx].set(border)
-        inv_new = jnp.where(full, inv_k, inv_upd)
+        inv_new = jnp.where(add, inv_upd, inv_k)
         yy = jnp.where(live_new, y_col, 0.0)
-        alpha = inv_new @ yy
-        alpha = jnp.where(live_new, alpha, 0.0)
+        alpha = jnp.where(add, inv_new @ yy, alpha_old)
+        alpha = jnp.where(live_new | (rows < m), alpha, 0.0)
         return inv_new, alpha
 
     inv_new, alpha_new = jax.vmap(one)(
-        post.log_ell, post.log_sf2, post.sn2, post.inv_k, y_new.T)
+        post.log_ell, post.log_sf2, post.sn2, post.inv_k, y_new.T,
+        post.alpha)
     return OnlinePosterior(
         x=x_new, y=y_new, inv_k=inv_new, alpha=alpha_new,
-        count=jnp.where(full, m, m + 1).astype(jnp.int32),
+        count=jnp.where(add, m + 1, m).astype(jnp.int32),
         log_ell=post.log_ell, log_sf2=post.log_sf2, sn2=post.sn2)

@@ -1,0 +1,64 @@
+"""Adaptive (online-conditioning) MPC — beyond-reference capability.
+
+With a deliberately starved initial training set, the controller that
+conditions its GP on every observed transition must track better than the
+frozen-GP controller (and must actually accumulate data)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpmpc_tpu import GP, MPC, Model
+from gpmpc_tpu.systems import four_tank_ode
+
+DT = 3.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
+                  R=np.diag([1e-4] * 4), clip_negative=True,
+                  dtype=jnp.float64, integrator_substeps=10)
+    # COVERAGE-starved prior: training data only from a low-level corner of
+    # the state space, while the setpoint (h=12.4) lies far outside it —
+    # the closed loop must traverse genuinely novel territory
+    X, Y = model.generate_training_data(
+        25, uub=[2.5, 2.5], ulb=[0.0, 0.0],
+        xub=[5.0, 5.0, 2.0, 2.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(3))
+    gp = GP(X, Y, multistart=2, max_iters=150, seed=1)
+    return model, gp
+
+
+def _solve(model, gp, online):
+    mpc = MPC(horizon=5 * DT, model=model, gp=gp, gp_method="ME",
+              discrete_method="gp",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1,
+              online_capacity=64 if online else None)
+    xs, us = mpc.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]),
+                       sim_time=25 * DT,
+                       x_sp=np.array([12.4, 12.7, 1.8, 1.4]),
+                       noise=True, key=jax.random.PRNGKey(5))
+    return np.asarray(xs), mpc
+
+
+def test_online_mpc_adapts_and_improves(setup):
+    model, gp = setup
+    xs_frozen, _ = _solve(model, gp, online=False)
+    xs_online, mpc = _solve(model, gp, online=True)
+
+    # accumulated novelty-gated points while exploring outside the prior
+    assert mpc.last_run["gp_points"] > 25 + 3
+
+    x_sp = np.array([12.4, 12.7])
+    err_frozen = np.abs(xs_frozen[-10:, :2] - x_sp).mean()
+    err_online = np.abs(xs_online[-10:, :2] - x_sp).mean()
+    assert np.isfinite(xs_online).all()
+    # the adaptive controller must do at least as well (it usually halves
+    # the error with this starved prior); allow a small slack for noise
+    assert err_online <= err_frozen + 0.05, (err_online, err_frozen)
+    # and must be genuinely decent in absolute terms
+    assert err_online < 0.5, err_online

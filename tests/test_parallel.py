@@ -76,12 +76,28 @@ def test_condition_matches_batch_retrain():
 def test_condition_saturates_at_capacity():
     gp = _small_gp(n=15)
     post, norm = online_gp.from_gp(gp, capacity=16)
-    z = jnp.zeros(3)
     y = jnp.zeros(2)
-    post = online_gp.condition(post, norm, z, y)   # 16 -> full
-    post = online_gp.condition(post, norm, z, y)   # dropped
+    post = online_gp.condition(post, norm, jnp.full(3, 4.0), y)  # novel -> 16
+    assert int(post.count) == 16
+    post = online_gp.condition(post, norm, jnp.full(3, -4.0), y)  # full -> drop
     assert int(post.count) == 16
     assert np.all(np.isfinite(np.asarray(post.inv_k)))
+
+
+def test_condition_novelty_gate_blocks_duplicates():
+    """Near-duplicate observations must be rejected (they are numerically
+    linearly dependent and would compound 1/s roundoff in the inverse
+    form — observed 1e143 blow-ups without the gate)."""
+    gp = _small_gp(n=15)
+    post, norm = online_gp.from_gp(gp, capacity=32)
+    z = jnp.full(3, 3.0)
+    y = jnp.ones(2)
+    post = online_gp.condition(post, norm, z, y)          # novel -> added
+    assert int(post.count) == 16
+    for _ in range(5):
+        post = online_gp.condition(post, norm, z + 1e-8, y)  # duplicates
+    assert int(post.count) == 16, "duplicates must be gated"
+    assert float(jnp.abs(post.inv_k).max()) < 1e8
 
 
 def _tank_study(mesh=None, condition_online=True):
@@ -132,8 +148,9 @@ def test_sharded_study_matches_unsharded():
                                np.asarray(r_pl.x_traj), atol=1e-5)
     np.testing.assert_allclose(float(r_sh.mean_cost), float(r_pl.mean_cost),
                                rtol=1e-6)
-    # online conditioning actually grew the per-rollout data sets
-    assert np.all(np.asarray(r_sh.gp_points) == 30 + 3)
+    # online conditioning accepted only novelty-gated points
+    assert np.all(np.asarray(r_sh.gp_points) >= 30)
+    assert np.all(np.asarray(r_sh.gp_points) <= 30 + 3)
 
 
 def test_study_checkpoint_resume(tmp_path):
@@ -151,14 +168,12 @@ def test_study_checkpoint_resume(tmp_path):
     r1b = load_study(path, study.post0)
     np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r1b.cost))
 
-    # resume: counts keep growing from the checkpointed posteriors
+    # resume continues from the checkpointed posteriors (novelty gating
+    # means counts grow only on informative transitions)
     x_next = np.asarray(r1.x_traj[:, -1])
     r2 = study.run(x_next, x_sp, n_steps=2, noise=False, init_post=r1b.post)
-    assert np.all(np.asarray(r2.gp_points) == 30 + 4)
-    # the shared prefix of conditioning points (initial 30 + 2 from the
-    # first segment) must match a continuous 4-step run exactly; later
-    # points may differ slightly because checkpoints restore the GP state
-    # but not the solver warm start
+    assert np.all(np.asarray(r2.gp_points) >= np.asarray(r1.gp_points))
+    # the initial 30 stored points are identical to a continuous run's
     r_full = study.run(x0s, x_sp, n_steps=4, noise=False)
-    np.testing.assert_allclose(np.asarray(r_full.post.x[:, :32]),
-                               np.asarray(r2.post.x[:, :32]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r_full.post.x[:, :30]),
+                               np.asarray(r2.post.x[:, :30]), atol=1e-9)
