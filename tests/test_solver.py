@@ -265,3 +265,17 @@ def test_parallel_riccati_matches_sequential():
                                    np.asarray(seq.gain_k), atol=1e-7)
         np.testing.assert_allclose(float(par.exp_dec), float(seq.exp_dec),
                                    rtol=1e-8)
+
+
+def test_parallel_riccati_long_horizons():
+    """associative-scan Riccati stays exact at long horizons (the regime it
+    exists for: log-depth backward pass)."""
+    for nt in (40, 80):
+        qp = _random_stage_qp(nt, 4, 2)
+        dx0 = jnp.zeros(4)
+        seq = riccati.solve(qp, dx0, 1e-6)
+        par = riccati.solve_parallel(qp, dx0, 1e-6)
+        np.testing.assert_allclose(np.asarray(par.du), np.asarray(seq.du),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(par.dx), np.asarray(seq.dx),
+                                   atol=1e-7)
