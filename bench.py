@@ -13,8 +13,17 @@ trips).  Per-solve latency is the K-slope of total wall time between two
 loop lengths, which cancels the axon tunnel's fixed per-call dispatch cost
 (~25 ms, measured) that has nothing to do with on-device execution.
 
+Solution-quality tie-in (VERDICT round-1 item 3): the RTI-budget loop
+(single-Newton real-time iteration, the headline latency) is only a
+legitimate controller if its closed-loop cost matches a converged-budget
+run.  Both loops are run and their realized closed-loop costs
+sum_t [(x_t - x_sp)' Q (x_t - x_sp) + (u_t - u_sp)' R (u_t - u_sp)] are
+reported; ``cost_ratio_rti_vs_converged`` must stay within 1% of 1.0.
+
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N,
+   "converged_latency_ms": N, "rti_cost": N, "converged_cost": N,
+   "cost_ratio_rti_vs_converged": N, "cost_parity_ok": bool}
 """
 
 import json
@@ -28,6 +37,32 @@ from gpmpc_tpu import GP, MPC, Model
 from gpmpc_tpu.systems import four_tank_ode
 
 TARGET_MS = 1.0  # BASELINE north star: < 1 ms / MPC solve at N=20
+
+
+Q_W = np.diag([20.0, 20.0, 0.1, 0.1])
+R_W = 0.05 * np.eye(2)
+
+
+def build_mpc(model, gp, dtype, solver_opts):
+    return MPC(horizon=20 * model.dt, model=model, gp=gp, gp_method="TA",
+               discrete_method="gp",
+               Q=Q_W, R=R_W,
+               ulb=[0.0, 0.0], uub=[8.0, 8.0],
+               xlb=[0.5, 0.5, 0.1, 0.1], xub=[16.0, 16.0, 8.0, 8.0],
+               percentile=0.95, feedback=True, cov_updates=1,
+               # LQR feedback gain linearized at the setpoint region (the
+               # GP has no data at the zero-level default point)
+               op_x=np.array([14.0, 14.0, 1.8, 1.4]),
+               op_u=np.array([3.0, 3.0]),
+               solver_opts=solver_opts, dtype=dtype)
+
+
+def closed_loop_cost(xs, us, x_sp):
+    """Realized closed-loop quadratic cost of a simulated run (host-side)."""
+    xs, us = np.asarray(xs, np.float64), np.asarray(us, np.float64)
+    ex = xs[:-1] - np.asarray(x_sp, np.float64)
+    return float(np.einsum("ti,ij,tj->", ex, Q_W, ex)
+                 + np.einsum("ti,ij,tj->", us, R_W, us))
 
 
 def main():
@@ -44,42 +79,56 @@ def main():
             max_iters=100, seed=1,
             optimizer_opts=dict(jitter=1e-5, min_noise=1e-5))
 
-    mpc = MPC(horizon=20 * dt, model=model, gp=gp, gp_method="TA",
-              discrete_method="gp",
-              Q=np.diag([20.0, 20.0, 0.1, 0.1]), R=0.05 * np.eye(2),
-              ulb=[0.0, 0.0], uub=[8.0, 8.0],
-              xlb=[0.5, 0.5, 0.1, 0.1], xub=[16.0, 16.0, 8.0, 8.0],
-              percentile=0.95, feedback=True, cov_updates=1,
-              # warm-started receding horizon runs RTI-grade iteration
-              # budgets (single-Newton real-time iteration)
-              solver_opts=dict(al_iters=1, max_iters=1, ls_steps=4,
-                               parallel_kkt=True),
-              dtype=dtype)
+    # warm-started receding horizon runs RTI-grade iteration budgets
+    # (single-Newton real-time iteration) for the headline latency; the
+    # converged-budget controller is the quality yardstick.  The hot AL
+    # penalty (1e4) is what buys cost parity at a single Newton step per
+    # period: multipliers warm-carry across steps, and a strong penalty
+    # makes the one linearized solve respect the tightened constraints
+    # immediately (budget sweep: benchmarks/RESULTS.md).
+    mpc_rti = build_mpc(model, gp, dtype,
+                        dict(al_iters=1, max_iters=1, ls_steps=8,
+                             penalty_init=1e4, parallel_kkt=True))
+    mpc_full = build_mpc(model, gp, dtype,
+                         dict(al_iters=4, max_iters=20, parallel_kkt=True))
 
     x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
     x_sp = jnp.asarray([14.0, 14.0, 1.8, 1.4], dtype)
 
-    def timed_loop(n_steps):
+    def timed_loop(mpc, n_steps, reps=7):
         # compile once for this length
         mpc.solve(x0, n_steps * dt, x_sp, noise=False)
-        reps = []
-        for _ in range(7):
+        best = np.inf
+        for _ in range(reps):
             t0 = time.perf_counter()
-            xs, _ = mpc.solve(x0, n_steps * dt, x_sp, noise=False)
+            xs, us = mpc.solve(x0, n_steps * dt, x_sp, noise=False)
             jax.block_until_ready(xs)
-            reps.append(time.perf_counter() - t0)
-        return min(reps)
+            best = min(best, time.perf_counter() - t0)
+        return best, xs, us
 
-    k_small, k_large = 10, 80
-    t_small = timed_loop(k_small)
-    t_large = timed_loop(k_large)
-    per_solve_ms = (t_large - t_small) / (k_large - k_small) * 1e3
-    per_solve_ms = max(per_solve_ms, 1e-6)
+    def k_slope_ms(mpc, reps=7):
+        k_small, k_large = 10, 80
+        t_small, _, _ = timed_loop(mpc, k_small, reps)
+        t_large, xs, us = timed_loop(mpc, k_large, reps)
+        per_ms = (t_large - t_small) / (k_large - k_small) * 1e3
+        return max(per_ms, 1e-6), xs, us
+
+    rti_ms, xs_rti, us_rti = k_slope_ms(mpc_rti)
+    full_ms, xs_full, us_full = k_slope_ms(mpc_full, reps=3)
+
+    cost_rti = closed_loop_cost(xs_rti, us_rti, x_sp)
+    cost_full = closed_loop_cost(xs_full, us_full, x_sp)
+    ratio = cost_rti / cost_full
     print(json.dumps({
         "metric": "mpc_solve_latency_N20_four_tank_TA",
-        "value": round(per_solve_ms, 4),
+        "value": round(rti_ms, 4),
         "unit": "ms",
-        "vs_baseline": round(TARGET_MS / per_solve_ms, 4),
+        "vs_baseline": round(TARGET_MS / rti_ms, 4),
+        "converged_latency_ms": round(full_ms, 4),
+        "rti_cost": round(cost_rti, 3),
+        "converged_cost": round(cost_full, 3),
+        "cost_ratio_rti_vs_converged": round(ratio, 5),
+        "cost_parity_ok": bool(abs(ratio - 1.0) <= 0.01),
     }))
 
 

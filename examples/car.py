@@ -82,6 +82,10 @@ def main(quick: bool = False, use_tpu: bool = False):
               ulb=u_lb, uub=u_ub,
               xlb=[-5.0, -4.0, -2.0, 0.0], xub=[25.0, 4.0, 2.0, 10.0],
               percentile=0.95, feedback=True,
+              # feedback gain linearized at the cruise speed: at v=0 the
+              # position modes are uncontrollable and the LQR Riccati
+              # iteration cannot converge
+              op_x=x0,
               inequality_constraints=ineq_cb, num_con_par=n_par,
               cov_updates=2)
 

@@ -181,7 +181,7 @@ class GP:
     # ------------------------------------------------------------ validate
 
     def validate(self, X_test, Y_test, verbose: bool = True):
-        """Held-out metrics per output dim: SMSE and MNLP
+        """Held-out metrics per output dim: SMSE, MNLP and RMSE
         [SURVEY C4/C5 validate, §4 test strategy]."""
         X_test = jnp.asarray(X_test)
         Y_test = np.asarray(Y_test)
@@ -197,12 +197,14 @@ class GP:
         mu, var = jax.vmap(one)(X_test)
         mu, var = np.asarray(mu), np.asarray(var)
         err2 = (mu - Y_test) ** 2
+        rmse = np.sqrt(err2.mean(axis=0))
         smse = err2.mean(axis=0) / Y_test.var(axis=0)
         mnlp = 0.5 * (err2 / var + np.log(2 * np.pi * var)).mean(axis=0)
         if verbose:
             for d in range(self.Ny):
-                print(f"dim {d}: SMSE={smse[d]:.4g}  MNLP={mnlp[d]:.4g}")
-        return smse, mnlp
+                print(f"dim {d}: RMSE={rmse[d]:.4g}  SMSE={smse[d]:.4g}  "
+                      f"MNLP={mnlp[d]:.4g}")
+        return smse, mnlp, rmse
 
     # ------------------------------------------------------------ persist
 

@@ -248,14 +248,28 @@ class MPC:
             self.num_user_con = 0
 
         # feedback gain from discrete LQR at the operating point
-        # [SURVEY C6 'linear state feedback', §3.3 lqr helper]
+        # [SURVEY C6 'linear state feedback', §3.3 lqr helper].  In pure-GP
+        # mode the controller's dynamics are the learned GP mean, so the
+        # gain is derived from its linearization (GP.linearize [SURVEY C5
+        # linearization row]) — not from the known model, which the
+        # controller does not otherwise use in this mode.
         if self.feedback:
             ox = jnp.asarray(op_x, dtype) if op_x is not None else \
                 jnp.zeros(self.Nx, dtype)
             ou = jnp.asarray(op_u, dtype) if op_u is not None else \
                 jnp.zeros(self.Nu, dtype)
-            ad, bd = model.discrete_linearize(ox, ou)
-            self.K_fb = riccati.lqr_gain(ad, bd, self.Q, self.R)
+            if dm == "gp" and gp is not None:
+                jac = gp.linearize(jnp.concatenate([ox, ou]))  # (Nx, Nx+Nu)
+                ad, bd = jac[:, :self.Nx], jac[:, self.Nx:]
+            else:
+                ad, bd = model.discrete_linearize(ox, ou)
+            self.K_fb, k_ok = riccati.lqr_gain(ad, bd, self.Q, self.R,
+                                               return_converged=True)
+            if not bool(k_ok):
+                import warnings
+                warnings.warn("LQR Riccati iteration for the feedback gain "
+                              "did not converge; check (A, B) at the "
+                              "operating point", stacklevel=2)
         else:
             self.K_fb = jnp.zeros((self.Nu, self.Nx), dtype)
 
@@ -296,6 +310,12 @@ class MPC:
             from gpmpc_tpu.parallel import online_gp as _og
             self._og = _og
             self.online_post0, _ = _og.from_gp(gp, online_capacity)
+            # in hybrid mode the GP models the residual Bd^+ (x+ - rk4(x,u)),
+            # NOT the raw next state; conditioning must map the observed
+            # transition into that residual space or the posterior silently
+            # drifts (the GP's normalization stats are residual-space too)
+            self._bd_pinv = (jnp.linalg.pinv(self.Bd) if dm == "hybrid"
+                             else None)
 
         self._build_problem()
         self._solve_step_jit = jax.jit(self._solve_step)
@@ -554,6 +574,10 @@ class MPC:
         step_fn = self._solve_step_init_jit if cold else self._solve_step_jit
         state, u0, sigmas, info = step_fn(
             warm, x0, x_sp, u_prev, sigma0, con_par, self.consts)
+        # external callers drive a real plant with this input: saturate to
+        # the hard box like the internal closed loop does, so residual AL
+        # violation can never command a bound-breaking actuator value
+        u0 = jnp.clip(u0, self.consts.ulb, self.consts.uub)
         return u0, state, sigmas, info
 
     def _dummy_params(self, x0a, x_sp):
@@ -605,9 +629,15 @@ class MPC:
             if self.model.clip_negative:
                 x_next = jnp.maximum(x_next, 0.0)
             if self.online_capacity is not None:
-                # condition on the transition actually observed (incl. noise)
+                # condition on the transition actually observed (incl. noise),
+                # mapped into the space the GP was trained on: raw next state
+                # in pure-GP mode, model residual through Bd in hybrid mode
                 z_obs = jnp.concatenate([x, u_cmd])
-                opost = self._og.condition(opost, consts.norm, z_obs, x_next)
+                if self.discrete_method == "hybrid":
+                    y_obs = self._bd_pinv @ (x_next - self.model.rk4(x, u_cmd))
+                else:
+                    y_obs = x_next
+                opost = self._og.condition(opost, consts.norm, z_obs, y_obs)
             out = (x, u_cmd, sigmas[1, :self.Nx, :self.Nx], info)
             return (x_next, warm, u_cmd, opost), out
 

@@ -131,7 +131,10 @@ def ge_solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # eliminate below and above (Gauss-Jordan keeps the unroll simple)
         pivot_row = jnp.einsum("...i,...ik->...k", onehot_j, m)
         piv = pivot_row[..., j:j + 1]
-        piv = jnp.where(jnp.abs(piv) > 1e-300, piv, 1e-300)
+        # dtype-aware singular-pivot floor: a 1e-300 literal underflows to
+        # 0.0 in float32 (the TPU production dtype), making the guard a no-op
+        tiny = jnp.finfo(m.dtype).tiny
+        piv = jnp.where(jnp.abs(piv) > tiny, piv, tiny)
         pivot_row = pivot_row / piv
         factors = m[..., :, j]                    # (..., n)
         factors = jnp.where(rows == j, 0.0, factors)

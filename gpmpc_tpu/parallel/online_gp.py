@@ -56,6 +56,13 @@ class OnlinePosterior(NamedTuple):
 
 def from_gp(gp, capacity: int) -> Tuple[OnlinePosterior, Normalization]:
     """Pad a trained :class:`gpmpc_tpu.models.gp.GP` posterior to capacity."""
+    if gp.cfg.mean_func != "zero":
+        # the online alpha refresh assumes a zero prior mean (condition()
+        # recomputes alpha = invK y without subtracting m(X)); a nonzero
+        # mean would silently bias every online prediction.  Mirrors the
+        # EM gate in GP.set_method.
+        raise ValueError("online conditioning requires mean_func='zero' "
+                         f"(got {gp.cfg.mean_func!r})")
     n, d = gp.Xn.shape
     ny = gp.Ny
     if capacity < n:

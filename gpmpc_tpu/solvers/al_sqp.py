@@ -89,9 +89,9 @@ class SolveResult(NamedTuple):
     obj: jnp.ndarray          # objective at solution (without AL terms)
     con_viol: jnp.ndarray     # max inequality violation
     defect: jnp.ndarray       # max dynamics defect
-    stat: jnp.ndarray         # stationarity measure (scaled step norm)
+    stat: jnp.ndarray         # relative KKT dual infeasibility (see _kkt_stat)
     iters: jnp.ndarray        # inner iterations used
-    converged: jnp.ndarray    # bool
+    converged: jnp.ndarray    # defect/viol <= tol_con (rel) AND stat <= tol_kkt
 
 
 def init_state(prob: TrajectoryProblem, x0: jnp.ndarray,
@@ -215,6 +215,44 @@ def _constraint_violation(prob, state, params):
     return viol
 
 
+def _kkt_stat(prob, state, params, mu):
+    """Relative KKT dual infeasibility of the AL problem at ``state``.
+
+    A costate backward pass gives the multipliers of the dynamics equality
+    constraints; stationarity w.r.t. x then holds by construction and the
+    residual lives in the input gradient g_u = dc/du + B' p_{t+1}.  Returned
+    scaled by the costate magnitude (the natural size of the cost gradients),
+    so the measure is dimensionless: ~1 far from a solution, ~0 at one.
+    Replaces the round-1 placeholder ``stat=0.0`` (the reference's IPOPT
+    reports the analogous scaled dual infeasibility [SURVEY §2.2]).
+    """
+    nt = prob.horizon
+    ts = jnp.arange(nt)
+
+    def stage_grads(x, u, t, lam_t):
+        a = jax.jacfwd(lambda xx: prob.dynamics(xx, u, t, params))(x)
+        b = jax.jacfwd(lambda uu: prob.dynamics(x, uu, t, params))(u)
+        gx = jax.grad(
+            lambda xx: _al_stage_cost(prob, xx, u, t, params, lam_t, mu))(x)
+        gu = jax.grad(
+            lambda uu: _al_stage_cost(prob, x, uu, t, params, lam_t, mu))(u)
+        return a, b, gx, gu
+
+    a, b, gx, gu = jax.vmap(stage_grads)(state.x[:-1], state.u, ts, state.lam)
+    p_term = jax.grad(
+        lambda x: _al_term_cost(prob, x, params, state.lam_term, mu))(
+            state.x[-1])
+
+    def back(p_next, stage):
+        a_t, gx_t = stage
+        return gx_t + a_t.T @ p_next, p_next
+
+    _, p_next_all = jax.lax.scan(back, p_term, (a, gx), reverse=True)
+    g_u = gu + jnp.einsum("tij,ti->tj", b, p_next_all)
+    scale = 1.0 + jnp.max(jnp.abs(p_next_all))
+    return jnp.max(jnp.abs(g_u)) / scale
+
+
 def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
           cfg: SQPConfig = SQPConfig()) -> SolveResult:
     """Solve the trajectory NLP from a warm start.  Pure function, jittable.
@@ -322,7 +360,13 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
         state.x[:-1], state.u, ts)
     defect = jnp.max(jnp.abs(f_next - state.x[1:]))
     viol = _constraint_violation(prob, state, params)
-    converged = (defect < 1e-5) & (viol < 1e-5)
+    stat = _kkt_stat(prob, state, params, mu)
+    # feasibility is judged relative to the trajectory magnitude; the dual
+    # infeasibility from _kkt_stat is already dimensionless
+    scale_x = 1.0 + jnp.maximum(jnp.max(jnp.abs(state.x)),
+                                jnp.max(jnp.abs(state.u)))
+    converged = ((defect <= cfg.tol_con * scale_x)
+                 & (viol <= cfg.tol_con * scale_x)
+                 & (stat <= cfg.tol_kkt))
     return SolveResult(state=state, obj=obj, con_viol=viol, defect=defect,
-                       stat=jnp.zeros((), dtype), iters=iters,
-                       converged=converged)
+                       stat=stat, iters=iters, converged=converged)

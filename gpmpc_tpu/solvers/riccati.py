@@ -238,21 +238,42 @@ def solve_parallel(qp: StageQP, dx0: jnp.ndarray, reg: jnp.ndarray | float
 
 
 def lqr_gain(a: jnp.ndarray, b: jnp.ndarray, q: jnp.ndarray, r: jnp.ndarray,
-             iters: int = 200) -> jnp.ndarray:
+             max_iters: int = 1000, tol: float = 1e-9,
+             return_converged: bool = False):
     """Infinite-horizon discrete LQR gain via Riccati iteration.
 
     TPU-native replacement for the reference's DARE-based ``lqr(A,B,Q,R)``
     helper (``gp_mpc/mpc_class.py`` module level [SURVEY C6, conf. M]) —
-    fixed-point iteration under ``lax.scan`` instead of ``scipy`` Schur
-    decomposition.  Returns K with u = -K x stabilizing A - B K.
+    fixed-point iteration under ``lax.while_loop`` with a relative
+    ``||P_{k+1} - P_k||_inf`` stopping test and an iteration cap, instead of
+    a ``scipy`` Schur decomposition.  Returns K with u = -K x stabilizing
+    A - B K; with ``return_converged=True`` also returns a bool flag that is
+    False when the cap was hit before the tolerance (e.g. for
+    near-unstabilizable (A, B) pairs, where the silent fixed-count version
+    of this routine produced an unreliable gain).
     """
-    def body(p, _):
+    # dtype-aware tolerance floor: 1e-9 relative is below the f32 (TPU
+    # production dtype) resolution; without the floor the loop always runs
+    # to the cap and reports non-convergence on perfectly good pairs
+    tol = max(tol, 50.0 * float(jnp.finfo(q.dtype).eps))
+
+    def cond(carry):
+        _, it, done = carry
+        return (~done) & (it < max_iters)
+
+    def body(carry):
+        p, it, _ = carry
         bp = b.T @ p
         k = jnp.linalg.solve(r + bp @ b, bp @ a)
         p_n = q + a.T @ p @ (a - b @ k)
         p_n = 0.5 * (p_n + p_n.T)
-        return p_n, None
+        delta = jnp.max(jnp.abs(p_n - p)) / (1.0 + jnp.max(jnp.abs(p_n)))
+        return p_n, it + 1, delta <= tol
 
-    p_final, _ = jax.lax.scan(body, q, None, length=iters)
+    p_final, _, done = jax.lax.while_loop(
+        cond, body, (q, jnp.zeros((), jnp.int32), jnp.asarray(False)))
     bp = b.T @ p_final
-    return jnp.linalg.solve(r + bp @ b, bp @ a)
+    k = jnp.linalg.solve(r + bp @ b, bp @ a)
+    if return_converged:
+        return k, done
+    return k

@@ -54,8 +54,9 @@ class SQPConfig:
     reg_init: float = 1e-6          # Levenberg regularization on Riccati
     reg_mult: float = 10.0
     reg_max: float = 1e8
-    tol_stat: float = 1e-8          # stationarity tolerance
-    tol_con: float = 1e-8           # constraint violation tolerance
+    tol_stat: float = 1e-8          # inner stop: step norm <= tol_stat*scale
+    tol_con: float = 1e-7           # converged: defect & viol <= tol_con*scale
+    tol_kkt: float = 1e-5           # converged: relative KKT dual infeas.
     ls_steps: int = 8               # backtracking line-search trials
     ls_beta: float = 0.5
     ls_c1: float = 1e-4

@@ -6,6 +6,10 @@ verified against the NumPy/SciPy oracle and scipy solvers elsewhere
 (tests/oracle.py, test_solver.py); these goldens freeze full x64 closed-loop
 trajectories OF THIS IMPLEMENTATION so any future refactor that changes
 behavior beyond 1e-6 state error is caught (BASELINE parity bar).
+
+Config coverage (VERDICT round-1 item 2): the three original tank configs,
+an Nt=20 tank config (the BASELINE target horizon), a saturating-cost +
+delta-u config, and the car EM+hybrid+obstacle config (BASELINE config 4).
 """
 
 import numpy as np
@@ -13,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu import GP, MPC, Model
-from gpmpc_tpu.systems import four_tank_ode
+from gpmpc_tpu.systems import (car_ode, ellipse_obstacle_constraints,
+                               four_tank_ode)
 
 DT = 3.0
 X0 = np.array([8.0, 9.0, 1.0, 1.0])
@@ -35,6 +40,7 @@ def tank_gp(model):
               max_iters=150, seed=5)
 
 
+#: tank-family configs; horizon_steps defaults to 5, sim_steps to 8
 CONFIGS = {
     "tank_rk4_me": dict(gp_method="ME", discrete_method="rk4",
                         percentile=None, feedback=False),
@@ -42,17 +48,90 @@ CONFIGS = {
                              percentile=0.95, feedback=True),
     "tank_gp_em_tight": dict(gp_method="EM", discrete_method="gp",
                              percentile=0.95, feedback=True),
+    # BASELINE target horizon N=20
+    "tank_gp_ta_nt20": dict(gp_method="TA", discrete_method="gp",
+                            percentile=0.95, feedback=True,
+                            horizon_steps=20),
+    # saturating cost + delta-u penalty (state-augmentation path)
+    "tank_sat_du": dict(gp_method="ME", discrete_method="rk4",
+                        percentile=None, feedback=False,
+                        costFunc="sat", with_du=True),
+    # car kinematic model, EM + hybrid + obstacle ellipses (config 4);
+    # built by run_car_golden, listed here so the parametrized gate is
+    # mandatory for it too
+    "car_em_hybrid_obs": dict(family="car"),
 }
 
 
 def run_config(name, model, gp):
-    kw = CONFIGS[name]
-    mpc = MPC(horizon=5 * DT, model=model,
+    kw = dict(CONFIGS[name])
+    if kw.pop("family", "tank") == "car":
+        return run_car_golden()
+    horizon_steps = kw.pop("horizon_steps", 5)
+    with_du = kw.pop("with_du", False)
+    extra = {}
+    if with_du:
+        extra.update(S=0.1 * np.eye(2), u_sp=np.array([3.0, 3.0]))
+    if kw.get("costFunc") == "sat":
+        q = np.diag([0.05, 0.05, 0.01, 0.01])
+        r = 0.001 * np.eye(2)
+    else:
+        q = np.diag([10.0, 10.0, 0.1, 0.1])
+        r = 0.01 * np.eye(2)
+    mpc = MPC(horizon=horizon_steps * DT, model=model,
               gp=gp if kw["discrete_method"] != "rk4" else None,
-              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              Q=q, R=r,
               ulb=[0.0, 0.0], uub=[8.0, 8.0],
               xlb=[0.5, 0.5, 0.1, 0.1], xub=[14.0, 25.0, 8.0, 8.0],
-              cov_updates=2, **kw)
+              cov_updates=2, **kw, **extra)
     xs, us = mpc.solve(x0=X0, sim_time=8 * DT, x_sp=XSP, noise=True,
                        key=jax.random.PRNGKey(11))
+    return np.asarray(xs), np.asarray(us)
+
+
+def run_car_golden():
+    """Car EM+hybrid+obstacles+chance+feedback+delta-u closed loop
+    (BASELINE config 4 at test scale; mirrors examples/car.py)."""
+    dtype = jnp.float64
+    dt = 0.1
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: car_ode(x, u), dt=dt,
+                  R=np.diag([1e-5, 1e-5, 1e-6, 1e-5]),
+                  dtype=dtype, integrator_substeps=10)
+    n_train = 40
+    kx, ku = jax.random.split(jax.random.PRNGKey(4))
+    x_lb = np.array([-1.0, -1.0, -0.6, 0.0])
+    x_ub = np.array([1.0, 1.0, 0.6, 8.0])
+    u_lb = np.array([-3.0, -0.5])
+    u_ub = np.array([3.0, 0.5])
+    x_s = jax.random.uniform(kx, (n_train, 4), minval=x_lb, maxval=x_ub,
+                             dtype=dtype)
+    u_s = jax.random.uniform(ku, (n_train, 2), minval=u_lb, maxval=u_ub,
+                             dtype=dtype)
+    resid = (jax.vmap(model.integrate)(x_s, u_s)
+             - jax.vmap(model.rk4)(x_s, u_s))
+    gp = GP(jnp.concatenate([x_s, u_s], axis=1), resid, mean_func="zero",
+            gp_method="EM", multistart=2, max_iters=200, seed=3)
+
+    obstacles = np.array([[6.0, 0.3, 1.5, 1.0],
+                          [12.0, -0.6, 1.5, 1.2]])
+    ineq_cb, n_par = ellipse_obstacle_constraints(2, scale=2.0)
+    mpc = MPC(horizon=8 * dt, model=model, gp=gp,
+              gp_method="EM", discrete_method="hybrid",
+              Q=np.diag([5.0, 20.0, 0.5, 1.0]), R=np.diag([0.1, 1.0]),
+              S=np.diag([0.05, 0.5]),
+              ulb=u_lb, uub=u_ub,
+              xlb=[-5.0, -4.0, -2.0, 0.0], xub=[25.0, 4.0, 2.0, 10.0],
+              percentile=0.95, feedback=True,
+              # linearize the feedback gain at the operating speed: at v=0
+              # the position modes are uncontrollable and the DARE has no
+              # stabilizing solution (round 1 silently used a non-converged
+              # 200-iteration gain there)
+              op_x=np.array([0.0, 0.0, 0.0, 2.0]),
+              inequality_constraints=ineq_cb, num_con_par=n_par,
+              cov_updates=2)
+    xs, us = mpc.solve(x0=np.array([0.0, 0.0, 0.0, 2.0]),
+                       sim_time=12 * dt,
+                       x_sp=np.array([18.0, 0.0, 0.0, 2.0]),
+                       con_par_func=lambda k: obstacles.reshape(-1),
+                       key=jax.random.PRNGKey(0))
     return np.asarray(xs), np.asarray(us)

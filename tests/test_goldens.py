@@ -24,8 +24,11 @@ def setup():
 @pytest.mark.parametrize("name", sorted(gc.CONFIGS))
 def test_golden_trajectory(name, setup):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
-    if not os.path.exists(path):
-        pytest.skip(f"golden {name} not generated yet")
+    # a missing golden is a FAILURE, not a skip: the 1e-6 parity gate must
+    # not silently turn optional when files are deleted (round-1 weakness 3)
+    assert os.path.exists(path), (
+        f"golden {name} missing — regenerate with python tests/make_goldens.py "
+        f"only if a behavior change was intended and verified")
     model, gp = setup
     xs, us = gc.run_config(name, model, gp)
     ref = np.load(path)

@@ -40,8 +40,9 @@ def test_gp_learns_tank_dynamics(tank_model, tank_gp):
         100, uub=[6.0, 6.0], ulb=[0.0, 0.0],
         xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
         noise=False, key=jax.random.PRNGKey(9))
-    smse, mnlp = tank_gp.validate(Xt, Yt, verbose=False)
+    smse, mnlp, rmse = tank_gp.validate(Xt, Yt, verbose=False)
     assert np.all(smse < 0.1), f"SMSE too high: {smse}"
+    assert np.all(rmse >= 0) and np.all(np.isfinite(rmse))
 
 
 def test_mpc_rk4_reaches_setpoint(tank_model):
@@ -177,3 +178,43 @@ def test_terminal_constraint(tank_model):
     term_err = float(np.sum((x_term - x_sp) ** 2))
     assert term_err <= 4.0 + 1e-3, f"terminal ball violated: {term_err}"
     assert np.isfinite(float(info.obj))
+
+
+def test_gp_feedback_gain_used_in_pure_gp_mode(tank_model, tank_gp):
+    """With discrete_method='gp' the LQR feedback gain must come from the
+    linearized GP mean dynamics, not the known model's RK4 Jacobian
+    [SURVEY C5 linearization row] — and the loop must still regulate."""
+    kw = dict(horizon=5 * DT, model=tank_model, gp=tank_gp, gp_method="TA",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=True, percentile=0.9, cov_updates=1,
+              op_x=X_SS, op_u=U_SS)
+    mpc_gp = MPC(discrete_method="gp", **kw)
+    mpc_model = MPC(discrete_method="hybrid", **kw)
+    k_gp = np.asarray(mpc_gp.K_fb)
+    k_model = np.asarray(mpc_model.K_fb)
+    # learned-dynamics gain must differ from the known-model gain...
+    assert not np.allclose(k_gp, k_model, atol=1e-6)
+    # ...but only modestly (the GP is a good model of the same dynamics)
+    assert np.linalg.norm(k_gp - k_model) < 5.0 * np.linalg.norm(k_model)
+    xs, _ = mpc_gp.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]), sim_time=12 * DT,
+                         x_sp=X_SS, noise=False)
+    xs = np.asarray(xs)
+    assert np.isfinite(xs).all()
+    assert np.abs(xs[-1, :2] - X_SS[:2]).max() < 0.5
+
+
+def test_solve_step_clips_returned_input(tank_model):
+    """solve_step must never hand an external plant a bound-violating input,
+    even when the AL solve carries residual constraint violation."""
+    mpc = MPC(horizon=4 * DT, model=tank_model, gp=None, gp_method="ME",
+              discrete_method="rk4",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[2.0, 2.0],
+              feedback=False, percentile=None, cov_updates=1,
+              # starved budget -> residual violation plausible
+              solver_opts=dict(max_iters=1, al_iters=1))
+    u0, _, _, _ = mpc.solve_step(np.array([2.0, 2.0, 0.5, 0.5]),
+                                 np.array([18.0, 18.0, 3.0, 3.0]))
+    u0 = np.asarray(u0)
+    assert np.all(u0 >= -1e-12) and np.all(u0 <= 2.0 + 1e-12), u0

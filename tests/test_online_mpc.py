@@ -62,3 +62,56 @@ def test_online_mpc_adapts_and_improves(setup):
     assert err_online <= err_frozen + 0.05, (err_online, err_frozen)
     # and must be genuinely decent in absolute terms
     assert err_online < 0.5, err_online
+
+
+def test_online_hybrid_conditions_in_residual_space(setup):
+    """In hybrid mode the GP models the residual x+ - rk4(x, u); the online
+    update must condition on that residual, not the raw next state (which
+    would silently corrupt the posterior — the normalization stats are
+    residual-space)."""
+    model, _ = setup
+    # residual-space training set for a hybrid controller: Y = x+ - rk4(x,u)
+    X, Yfull = model.generate_training_data(
+        25, uub=[2.5, 2.5], ulb=[0.0, 0.0],
+        xub=[5.0, 5.0, 2.0, 2.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(7))
+    rk4 = jax.vmap(model.rk4)(X[:, :4], X[:, 4:])
+    Yres = Yfull - rk4
+    gp_res = GP(X, Yres, multistart=2, max_iters=150, seed=2)
+
+    mpc = MPC(horizon=5 * DT, model=model, gp=gp_res, gp_method="ME",
+              discrete_method="hybrid",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1,
+              online_capacity=64)
+    xs, us = mpc.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]),
+                       sim_time=20 * DT,
+                       x_sp=np.array([12.4, 12.7, 1.8, 1.4]),
+                       noise=True, key=jax.random.PRNGKey(5))
+    xs = np.asarray(xs)
+    assert np.isfinite(xs).all()
+    # the accumulated online observations must be residual-scale (the raw
+    # next state is O(10); the model residual is O(noise) ~ 1e-2): a raw-
+    # space bug makes the stored normalized targets explode
+    post = mpc.online_post
+    m = int(post.count)
+    y_raw = (np.asarray(post.y[:m]) * np.asarray(mpc.gp.norm.y_std)
+             + np.asarray(mpc.gp.norm.y_mean))
+    assert np.abs(y_raw).max() < 1.0, np.abs(y_raw).max()
+    # and the adaptive hybrid loop must regulate decently
+    err = np.abs(xs[-5:, :2] - np.array([12.4, 12.7])).mean()
+    assert err < 0.5, err
+
+
+def test_online_requires_zero_mean():
+    """from_gp must reject GPs trained with a nonzero prior mean — the
+    online alpha refresh assumes m(X) = 0."""
+    from gpmpc_tpu.parallel import online_gp
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((10, 3))
+    Y = rng.standard_normal((10, 2))
+    gp = GP(X, Y, mean_func="const", multistart=1, max_iters=30, seed=0)
+    with pytest.raises(ValueError, match="zero"):
+        online_gp.from_gp(gp, 16)

@@ -87,9 +87,30 @@ def test_lqr_gain_matches_dare():
     r = 2.0 * np.eye(nu)
     p = solve_discrete_are(a, b, q, r)
     k_ref = np.linalg.solve(r + b.T @ p @ b, b.T @ p @ a)
-    k = riccati.lqr_gain(jnp.array(a), jnp.array(b), jnp.array(q),
-                         jnp.array(r), iters=500)
+    k, ok = riccati.lqr_gain(jnp.array(a), jnp.array(b), jnp.array(q),
+                             jnp.array(r), return_converged=True)
+    assert bool(ok)
     np.testing.assert_allclose(np.asarray(k), k_ref, atol=1e-8)
+
+
+def test_lqr_gain_reports_nonconvergence():
+    """A tight iteration cap on a slowly-converging pair must be reported,
+    not silently returned as a trusted gain (round-1 weakness: fixed 200
+    iterations, no check)."""
+    # marginally stabilizable: control barely couples into the second state
+    a = np.array([[1.0, 1.0], [0.0, 1.0 - 1e-9]])
+    b = np.array([[0.0], [1e-6]])
+    q = np.eye(2)
+    r = np.eye(1)
+    _, ok = riccati.lqr_gain(jnp.array(a), jnp.array(b), jnp.array(q),
+                             jnp.array(r), return_converged=True)
+    assert not bool(ok)
+    # a well-behaved pair converges well inside the default cap
+    a2 = np.array([[0.9, 0.1], [0.0, 0.8]])
+    b2 = np.array([[0.0], [1.0]])
+    _, ok2 = riccati.lqr_gain(jnp.array(a2), jnp.array(b2), jnp.array(q),
+                              jnp.array(r), return_converged=True)
+    assert bool(ok2)
 
 
 def _double_integrator_problem(nt=10, dt=0.1, umax=1.0, with_box=True):
@@ -279,3 +300,27 @@ def test_parallel_riccati_long_horizons():
                                    atol=1e-7)
         np.testing.assert_allclose(np.asarray(par.dx), np.asarray(seq.dx),
                                    atol=1e-7)
+
+
+def test_converged_flag_uses_tolerances_and_kkt_stat():
+    """`SolveResult.converged` must reflect the config tolerances and a real
+    stationarity measure (round-1 weakness: hard-coded 1e-5 feasibility
+    checks and stat=0.0 always)."""
+    prob, a, b, q, r_cost, x_ref = _double_integrator_problem(umax=0.4)
+    x0 = jnp.array([0.0, 0.0])
+    init = init_state(prob, x0, params=None)
+
+    res = solve(prob, None, init, SQPConfig())
+    assert bool(res.converged), (float(res.defect), float(res.con_viol),
+                                 float(res.stat))
+    assert float(res.stat) < 1e-5
+
+    # budget-starved from a cold start: must honestly report non-convergence
+    starved = solve(prob, None, init, SQPConfig(max_iters=1, al_iters=1))
+    assert not bool(starved.converged), (float(starved.defect),
+                                         float(starved.con_viol),
+                                         float(starved.stat))
+
+    # tightening tol_kkt beyond reach flips the flag on the full solve
+    res2 = solve(prob, None, init, SQPConfig(tol_kkt=1e-300))
+    assert not bool(res2.converged)
