@@ -159,6 +159,34 @@ def main():
         print(f"Cholesky   N={n:4d}: XLA {t_cref*1e6:8.1f} us | "
               f"pallas {t_cpal*1e6:8.1f} us")
 
+    # ---- 3b. large-N GP train + predict (scaling evidence, VERDICT r1 #7;
+    # goes through the ops.dispatch policy like all GP-core code) ----------
+    n_large = 512
+    Xl, Yl = model.generate_training_data(
+        n_large, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(12))
+    t0 = time.perf_counter()
+    gp_l = GP(Xl, Yl, mean_func="zero", gp_method="TA", multistart=1,
+              max_iters=60, seed=1,
+              optimizer_opts=dict(jitter=1e-5, min_noise=1e-5))
+    np.asarray(gp_l.hyper.log_ell)
+    t_train = time.perf_counter() - t0
+    post_l, norm_l, cfg_l = gp_l.post, gp_l.norm, gp_l.cfg
+
+    def op_large(c):
+        def one(z):
+            zn = (z + c * 1e-20 - norm_l.z_mean) / norm_l.z_std
+            mu, var = gp_core.predict(post_l, zn, cfg_l)
+            return mu.sum() + var.sum()
+        zs = jnp.linspace(0.0, 1.0, 128 * 6, dtype=dtype).reshape(128, 6)
+        return jax.vmap(one)(zs).sum()
+
+    per = scan_bench(op_large, k1=16, k2=128)
+    print(f"GP N={n_large} train (1 start, 60 iters): {t_train:6.2f} s | "
+          f"predict batch 128: {per*1e6:8.1f} us/call "
+          f"({per/128*1e6:6.3f} us/point)")
+
     # ---- 4. MPC solve (configs 2-3) -------------------------------------
     for gm, pc in (("ME", None), ("TA", 0.95)):
         mpc = MPC(horizon=20 * dt, model=model, gp=gp, gp_method=gm,
@@ -167,6 +195,8 @@ def main():
                   ulb=[0.0, 0.0], uub=[8.0, 8.0],
                   xlb=[0.5, 0.5, 0.1, 0.1], xub=[16.0, 16.0, 8.0, 8.0],
                   percentile=pc, feedback=pc is not None, cov_updates=1,
+                  op_x=np.array([14.0, 14.0, 1.8, 1.4]),
+                  op_u=np.array([3.0, 3.0]),
                   solver_opts=dict(al_iters=1, max_iters=2, ls_steps=4),
                   dtype=dtype)
         x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)

@@ -29,8 +29,10 @@ import jax.numpy as jnp
 import optax
 import optax.tree_utils as otu
 
-from gpmpc_tpu.ops.kernels import se_ard_cross, se_ard_gram
-from gpmpc_tpu.ops.chol import cholesky_psd, chol_solve, tri_solve
+from gpmpc_tpu.ops.kernels import se_ard_cross
+from gpmpc_tpu.ops.dispatch import se_ard_gram_auto as se_ard_gram
+from gpmpc_tpu.ops.dispatch import cholesky_auto as cholesky_psd
+from gpmpc_tpu.ops.chol import chol_solve, tri_solve
 from gpmpc_tpu.models.mean_functions import mean_value, num_mean_params
 from gpmpc_tpu.utils.config import GPConfig
 

@@ -5,6 +5,12 @@ from gpmpc_tpu.ops.kernels import (
     sq_maha,
 )
 from gpmpc_tpu.ops.chol import cholesky_psd, chol_solve, tri_solve, cholupdate
+from gpmpc_tpu.ops.dispatch import (
+    PallasPolicy,
+    cholesky_auto,
+    se_ard_gram_auto,
+    set_policy,
+)
 
 __all__ = [
     "se_ard",
@@ -15,4 +21,8 @@ __all__ = [
     "chol_solve",
     "tri_solve",
     "cholupdate",
+    "PallasPolicy",
+    "cholesky_auto",
+    "se_ard_gram_auto",
+    "set_policy",
 ]
