@@ -39,16 +39,28 @@ class Model:
                  dt: float,
                  R: Optional[jnp.ndarray] = None,
                  alg: Optional[Callable] = None,
+                 Nz: Optional[int] = None,
+                 z_guess: Optional[Callable] = None,
+                 alg_newton_iters: int = 12,
                  clip_negative: bool = False,
                  integrator_substeps: int = 20,
                  dtype=jnp.float32):
-        if alg is not None:
-            raise NotImplementedError(
-                "DAE systems (alg=...) are not supported; supply an explicit "
-                "ODE. (Reference: casadi/CVODES DAE path, SURVEY C2.)")
+        """With ``alg`` given, the plant is a semi-explicit index-1 DAE
+
+            x' = ode(x, z, u),   0 = alg(x, z, u),   z in R^Nz
+
+        (the reference's casadi/CVODES DAE path [SURVEY C2 ``alg``]).  The
+        algebraic variables are eliminated pointwise by a fixed-count Newton
+        solve (trace-unrolled Gauss-Jordan on the Nz x Nz system — vmappable,
+        no LAPACK HLOs), so every discrete map (rk4/integrate/linearize/
+        NLP embedding) works on the reduced ODE unchanged; derivatives flow
+        through the converged Newton iterations (implicit function theorem
+        in the fixed-point limit).  ``z_guess(x, u) -> (Nz,)`` supplies the
+        Newton starting point (default zeros); index-1 means dalg/dz is
+        nonsingular along trajectories.
+        """
         self.Nx = int(Nx)
         self.Nu = int(Nu)
-        self.ode = ode
         self.dt = float(dt)
         self.dtype = dtype
         self.R = (jnp.zeros((Nx, Nx), dtype) if R is None
@@ -56,8 +68,49 @@ class Model:
         self.clip_negative = bool(clip_negative)
         self.integrator_substeps = int(integrator_substeps)
 
+        self.alg = alg
+        if alg is not None:
+            if Nz is None or int(Nz) <= 0:
+                raise ValueError("DAE systems require Nz (the number of "
+                                 "algebraic variables)")
+            self.Nz = int(Nz)
+            self._ode_dae = ode                 # ode(x, z, u)
+            self._z_guess = z_guess
+            self._alg_iters = int(alg_newton_iters)
+            self.ode = self._dae_reduced        # ode(x, u) for all callers
+        else:
+            self.Nz = 0
+            self.ode = ode
+
         self._integrate_jit = jax.jit(self.integrate)
         self._rk4_jit = jax.jit(self.rk4)
+
+    # ------------------------------------------------------------ DAE layer
+
+    def solve_alg(self, x: jnp.ndarray, u: jnp.ndarray,
+                  z0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Newton solve of 0 = alg(x, z, u) for the algebraic variables z.
+
+        Fixed iteration count (jit/scan/vmap friendly); the linear step uses
+        the trace-unrolled Gauss-Jordan solve from :mod:`gpmpc_tpu.ops.chol`
+        (batched LAPACK HLOs are pathological on this backend)."""
+        from gpmpc_tpu.ops.chol import ge_solve_small
+
+        if z0 is None:
+            z0 = (self._z_guess(x, u) if self._z_guess is not None
+                  else jnp.zeros(self.Nz, x.dtype))
+
+        def body(_, z):
+            g = self.alg(x, z, u)
+            jz = jax.jacfwd(lambda zz: self.alg(x, zz, u))(z)
+            return z + ge_solve_small(jz, -g)
+
+        return jax.lax.fori_loop(0, self._alg_iters, body, z0)
+
+    def _dae_reduced(self, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """Reduced ODE x' = f(x, z*(x, u), u) with z* from the Newton solve."""
+        z = self.solve_alg(x, u)
+        return self._ode_dae(x, z, u)
 
     # ------------------------------------------------------------ core maps
 

@@ -101,6 +101,7 @@ class StepInfo(NamedTuple):
     obj: jnp.ndarray
     defect: jnp.ndarray
     con_viol: jnp.ndarray
+    stat: jnp.ndarray        # relative KKT dual infeasibility
     iters: jnp.ndarray
     converged: jnp.ndarray
 
@@ -536,7 +537,7 @@ class MPC:
                                margins_x=mx, margins_u=mu_m,
                                sigmas=sigmas, con_par=con_par, consts=consts)
             result = al_sqp.solve(self.problem, params, state, cfg)
-            out = (result.obj, result.defect, result.con_viol,
+            out = (result.obj, result.defect, result.con_viol, result.stat,
                    result.iters, result.converged, sigmas)
             return result.state, out
 
@@ -545,9 +546,9 @@ class MPC:
         state, outs = jax.lax.scan(
             cov_pass, state, None, length=max(self.cov_updates, 1))
         info = StepInfo(obj=outs[0][-1], defect=outs[1][-1],
-                        con_viol=outs[2][-1], iters=outs[3][-1],
-                        converged=outs[4][-1])
-        return state, state.u[0], outs[5][-1], info
+                        con_viol=outs[2][-1], stat=outs[3][-1],
+                        iters=outs[4][-1], converged=outs[5][-1])
+        return state, state.u[0], outs[6][-1], info
 
     def _init_warm(self, x0a, x_sp, u_init=None):
         return al_sqp.init_state(self.problem, x0a,
@@ -695,6 +696,7 @@ class MPC:
             "obj": np.asarray(infos.obj),
             "defect": np.asarray(infos.defect),
             "con_viol": np.asarray(infos.con_viol),
+            "stat": np.asarray(infos.stat),
             "iters": np.asarray(infos.iters),
             "converged": np.asarray(infos.converged),
             "x_sp": np.asarray(x_sp),

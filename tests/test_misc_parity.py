@@ -43,10 +43,51 @@ def test_linear_mean_gp_extrapolates():
     assert abs(float(mu_lin[0]) - 13.0) < 0.5, float(mu_lin[0])
 
 
-def test_dae_gated():
-    with pytest.raises(NotImplementedError):
-        Model(Nx=1, Nu=1, ode=lambda x, u: -x, dt=0.1,
+def test_dae_requires_nz():
+    with pytest.raises(ValueError, match="Nz"):
+        Model(Nx=1, Nu=1, ode=lambda x, z, u: -z, dt=0.1,
               alg=lambda x, z, u: z)
+
+
+def test_dae_integrates_to_analytic_solution():
+    """Semi-explicit index-1 DAE: x' = -z, 0 = z - x^2  (so x' = -x^2),
+    analytic solution x(t) = x0 / (1 + x0 t)  [SURVEY C2 ``alg``]."""
+    m = Model(Nx=1, Nu=1,
+              ode=lambda x, z, u: -z,
+              alg=lambda x, z, u: z - x * x,
+              Nz=1, dt=0.5, dtype=jnp.float64, integrator_substeps=50)
+    x0 = jnp.array([2.0])
+    u = jnp.zeros(1)
+    x1 = m.integrate(x0, u)
+    analytic = 2.0 / (1.0 + 2.0 * 0.5)
+    np.testing.assert_allclose(float(x1[0]), analytic, atol=1e-6)
+    # algebraic solve is exact at the solution point
+    z = m.solve_alg(x0, u)
+    np.testing.assert_allclose(float(z[0]), 4.0, atol=1e-10)
+    # linearization flows through the Newton solve (implicit function
+    # theorem): d(-x^2)/dx = -2x
+    a, b = m.linearize(x0, u)
+    np.testing.assert_allclose(float(a[0, 0]), -4.0, atol=1e-8)
+
+
+def test_dae_plant_in_closed_loop():
+    """A DAE plant drives the full MPC stack (rk4 embedding + integrate
+    truth) unchanged — the algebraic elimination is below the Model API."""
+    # x' = u - z, 0 = z - x^3/(1+x^2)  (a saturating nonlinear drain)
+    m = Model(Nx=1, Nu=1,
+              ode=lambda x, z, u: u - z,
+              alg=lambda x, z, u: z - x ** 3 / (1.0 + x * x),
+              Nz=1, dt=0.5, dtype=jnp.float64, integrator_substeps=20)
+    from gpmpc_tpu import MPC
+    mpc = MPC(horizon=4 * 0.5, model=m, gp=None, gp_method="ME",
+              discrete_method="rk4", Q=np.eye(1), R=0.01 * np.eye(1),
+              ulb=[-3.0], uub=[3.0], feedback=False, percentile=None,
+              cov_updates=1)
+    xs, us = mpc.solve(x0=np.array([0.2]), sim_time=10 * 0.5,
+                       x_sp=np.array([1.5]), noise=False)
+    xs = np.asarray(xs)
+    assert np.isfinite(xs).all()
+    assert abs(xs[-1, 0] - 1.5) < 0.05, xs[-1]
 
 
 def test_gp_save_load_roundtrip(tmp_path):
