@@ -5,15 +5,20 @@ TPU-native rebuild of the reference's ``gp_mpc/model_class.py::Model``
 closed-loop simulation, and training-data generation.
 
 Where the reference calls CasADi's CVODES integrator (adaptive-step, C) per
-sample in a Python loop [SURVEY §3.1], here integration is fixed-step RK4
-with configurable substeps under ``lax.scan`` — deterministic, differentiable
-end-to-end, and the whole N-sample data-generation sweep is one vmapped
-compiled program instead of N Python->C round-trips.
+sample in a Python loop [SURVEY §3.1], here integration runs on device:
+fixed-step RK4 with configurable substeps under ``lax.scan`` (deterministic,
+differentiable end-to-end, default) or adaptive-step Dormand-Prince RK5(4)
+with PI step-size control under ``lax.while_loop``
+(``integrator='adaptive'`` — the full CVODES-role error-controlled
+integrator, forward-mode differentiable).  Either way the whole N-sample
+data-generation sweep is one vmapped compiled program instead of N
+Python->C round-trips.  A first-party C++ DOPRI5 host integrator
+(:mod:`gpmpc_tpu.native`) provides the independent truth source.
 
-The ODE is any pure-JAX callable ``ode(x, u) -> dx/dt``.  Algebraic (DAE)
-systems — the reference's ``alg`` option [SURVEY C2, confidence M] — are not
-supported; pass an explicit ODE (stiff/DAE support is gated with a clear
-error rather than silently misintegrating).
+The ODE is any pure-JAX callable ``ode(x, u) -> dx/dt``; semi-explicit
+index-1 DAE systems — the reference's ``alg`` option [SURVEY C2,
+confidence M] — are supported via pointwise Newton elimination of the
+algebraic variables (see ``__init__``).
 """
 
 from __future__ import annotations
@@ -44,6 +49,10 @@ class Model:
                  alg_newton_iters: int = 12,
                  clip_negative: bool = False,
                  integrator_substeps: int = 20,
+                 integrator: str = "rk4",
+                 rtol: float = 1e-6,
+                 atol: float = 1e-9,
+                 max_adaptive_steps: int = 10_000,
                  dtype=jnp.float32):
         """With ``alg`` given, the plant is a semi-explicit index-1 DAE
 
@@ -67,6 +76,13 @@ class Model:
                   else jnp.asarray(R, dtype))
         self.clip_negative = bool(clip_negative)
         self.integrator_substeps = int(integrator_substeps)
+        if integrator not in ("rk4", "adaptive"):
+            raise ValueError(f"unknown integrator {integrator!r} "
+                             "(expected 'rk4' or 'adaptive')")
+        self.integrator = integrator
+        self.rtol = float(rtol)
+        self.atol = float(atol)
+        self.max_adaptive_steps = int(max_adaptive_steps)
 
         self.alg = alg
         if alg is not None:
@@ -130,14 +146,88 @@ class Model:
     def integrate(self, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """High-accuracy one-step integration over dt (plant truth /
         ``discrete_method='exact'``).  Replaces the reference's CVODES call
-        (``Model.integrate`` [SURVEY C2]) with ``integrator_substeps``
-        RK4 substeps under ``lax.scan``."""
+        (``Model.integrate`` [SURVEY C2]): ``integrator_substeps`` RK4
+        substeps under ``lax.scan`` by default, or error-controlled
+        Dormand-Prince RK5(4) when the model was built with
+        ``integrator='adaptive'``."""
+        if self.integrator == "adaptive":
+            return self.integrate_adaptive(x, u)
         h = self.dt / self.integrator_substeps
 
         def body(xc, _):
             return self._rk4_step(xc, u, h), None
 
         xf, _ = jax.lax.scan(body, x, None, length=self.integrator_substeps)
+        return xf
+
+    # Dormand-Prince RK5(4)7M tableau (same pair as the C++ host integrator
+    # csrc/integrator.cpp and, in role, CVODES' adaptive stepping the
+    # reference relies on through casadi.integrator [SURVEY §2.2 CVODES row]).
+    _DP_A = (
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+    )
+    # 5th-order solution weights == last A row (FSAL); 4th-order embedded
+    _DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
+              -92097 / 339200, 187 / 2100, 1 / 40)
+
+    def _dopri5_step(self, x, u, h):
+        """One DOPRI5 trial step: returns (x5, err) where err is the
+        difference between the 5th- and embedded 4th-order solutions."""
+        f = lambda xx: self.ode(xx, u)
+        k = [f(x)]
+        for row in self._DP_A:
+            xs = x + h * sum(a * ki for a, ki in zip(row, k) if a != 0.0)
+            k.append(f(xs))
+        x5 = xs                       # last stage uses the b-row (FSAL form)
+        x4 = x + h * sum(b * ki for b, ki in zip(self._DP_B4, k)
+                         if b != 0.0)
+        return x5, x5 - x4
+
+    def integrate_adaptive(self, x: jnp.ndarray, u: jnp.ndarray,
+                           rtol: Optional[float] = None,
+                           atol: Optional[float] = None) -> jnp.ndarray:
+        """Error-controlled one-step integration over dt: Dormand-Prince
+        RK5(4) with a PI step-size controller under ``lax.while_loop`` —
+        the on-device equivalent of the reference's adaptive CVODES call
+        (``casadi.integrator`` [SURVEY C2/§2.2]).  jit/vmap-compatible and
+        forward-mode differentiable (``lax.while_loop`` has no reverse
+        rule — for NLP embedding keep the default fixed-step ``rk4`` map,
+        which differentiates both ways)."""
+        dtype = x.dtype
+        rtol = jnp.asarray(self.rtol if rtol is None else rtol, dtype)
+        atol = jnp.asarray(self.atol if atol is None else atol, dtype)
+        t_end = jnp.asarray(self.dt, dtype)
+        # initial step: a conservative fraction of the interval
+        h0 = t_end / jnp.asarray(10.0, dtype)
+        h_min = t_end * jnp.asarray(1e-6, dtype)
+        safety, p_order = 0.9, 5.0
+
+        def cond(carry):
+            t, _x, _h, n = carry
+            return (t < t_end) & (n < self.max_adaptive_steps)
+
+        def body(carry):
+            t, xc, h, n = carry
+            h = jnp.minimum(h, t_end - t)
+            x5, err = self._dopri5_step(xc, u, h)
+            scale = atol + rtol * jnp.maximum(jnp.abs(xc), jnp.abs(x5))
+            enorm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            accept = (enorm <= 1.0) | (h <= h_min)
+            t_n = jnp.where(accept, t + h, t)
+            x_n = jnp.where(accept, x5, xc)
+            # standard controller: h *= clip(0.9 * enorm^(-1/5), 0.2, 5)
+            fac = safety * jnp.power(jnp.maximum(enorm, 1e-10),
+                                     -1.0 / p_order)
+            h_n = jnp.maximum(h * jnp.clip(fac, 0.2, 5.0), h_min)
+            return t_n, x_n, h_n, n + 1
+
+        _, xf, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), dtype), x, h0, jnp.zeros((), jnp.int32)))
         return xf
 
     # ------------------------------------------------------------ simulate

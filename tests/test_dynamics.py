@@ -97,6 +97,84 @@ def test_generate_training_data():
     assert err.max() < 0.1  # noise-scale deviations only
 
 
+def test_adaptive_integrator_matches_scipy():
+    """Device DOPRI5 (integrator='adaptive') against a tight scipy solve."""
+    m = Model(Nx=2, Nu=1, ode=pend_ode, dt=0.05, integrator="adaptive",
+              rtol=1e-9, atol=1e-12, dtype=jnp.float64)
+    x0 = np.array([0.4, -0.2])
+    u = np.array([0.3])
+    got = np.asarray(m.integrate(jnp.array(x0), jnp.array(u)))
+    sol = solve_ivp(lambda t, x: np.array([x[1],
+                                           -9.81 * np.sin(x[0]) - 0.2 * x[1]
+                                           + u[0]]),
+                    (0, m.dt), x0, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got, sol.y[:, -1], atol=1e-9)
+
+
+def test_adaptive_integrator_controls_error_on_stiff_decay():
+    """On a fast linear decay over a long interval the error-controlled
+    integrator must hit the analytic solution where coarse fixed-step RK4
+    blows up (the CVODES-role behavior [SURVEY §2.2])."""
+    lam = 60.0
+    dt = 1.0
+
+    def decay(x, u):
+        return -lam * x + u
+
+    # 10 fixed RK4 substeps -> h*lam = 6: unstable, error is enormous
+    m_fixed = Model(Nx=1, Nu=1, ode=decay, dt=dt, integrator_substeps=10,
+                    dtype=jnp.float64)
+    # adaptive shrinks h automatically
+    m_adapt = Model(Nx=1, Nu=1, ode=decay, dt=dt, integrator="adaptive",
+                    rtol=1e-8, atol=1e-12, dtype=jnp.float64)
+    x0, u = jnp.array([1.0]), jnp.array([0.0])
+    exact = np.exp(-lam * dt)
+    got_adapt = float(m_adapt.integrate(x0, u)[0])
+    got_fixed = float(m_fixed.integrate(x0, u)[0])
+    assert abs(got_adapt - exact) < 1e-8
+    assert abs(got_fixed - exact) > 1.0  # the fixed map diverged
+
+
+def test_adaptive_integrator_jit_vmap_grad():
+    """jit + vmap + forward-mode differentiation all trace through."""
+    m = Model(Nx=2, Nu=1, ode=pend_ode, dt=0.05, integrator="adaptive",
+              rtol=1e-8, atol=1e-10, dtype=jnp.float64)
+    x0s = jnp.array(RNG.uniform(-0.5, 0.5, size=(8, 2)))
+    us = jnp.array(RNG.uniform(-1, 1, size=(8, 1)))
+    batched = jax.jit(jax.vmap(m.integrate))(x0s, us)
+    assert batched.shape == (8, 2)
+    one = m.integrate(x0s[0], us[0])
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(one),
+                               rtol=1e-9, atol=1e-12)
+    # fwd-mode Jacobian agrees with the fixed-step map's (same flow)
+    j_adapt = jax.jacfwd(lambda x: m.integrate(x, us[0]))(x0s[0])
+    m_fixed = Model(Nx=2, Nu=1, ode=pend_ode, dt=0.05,
+                    integrator_substeps=40, dtype=jnp.float64)
+    j_fixed = jax.jacfwd(lambda x: m_fixed.integrate(x, us[0]))(x0s[0])
+    np.testing.assert_allclose(np.asarray(j_adapt), np.asarray(j_fixed),
+                               atol=1e-6)
+
+
+def test_adaptive_matches_native_host_integrator():
+    """Device DOPRI5 vs the first-party C++ DOPRI5 (same tableau)."""
+    import pytest
+    from gpmpc_tpu import native
+    try:
+        native._load()
+    except Exception as e:  # pragma: no cover - no compiler in env
+        pytest.skip(f"native integrator unavailable: {e}")
+    m = Model(Nx=2, Nu=1, ode=pend_ode, dt=0.05, integrator="adaptive",
+              rtol=1e-10, atol=1e-13, dtype=jnp.float64)
+    x0 = np.array([0.4, -0.2])
+    u = np.array([0.3])
+    got_dev = np.asarray(m.integrate(jnp.array(x0), jnp.array(u)))
+    got_host = native.integrate(
+        x0, u, m.dt, ode=lambda x, uu: np.array(
+            [x[1], -9.81 * np.sin(x[0]) - 0.2 * x[1] + uu[0]]),
+        rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(got_dev, got_host, atol=1e-9)
+
+
 def test_clip_negative():
     def tank_ode(x, u):
         return -jnp.sqrt(jnp.maximum(x, 1e-9)) + u
