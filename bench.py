@@ -27,6 +27,7 @@ Prints exactly ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -119,7 +120,7 @@ def main():
     cost_rti = closed_loop_cost(xs_rti, us_rti, x_sp)
     cost_full = closed_loop_cost(xs_full, us_full, x_sp)
     ratio = cost_rti / cost_full
-    print(json.dumps({
+    out = {
         "metric": "mpc_solve_latency_N20_four_tank_TA",
         "value": round(rti_ms, 4),
         "unit": "ms",
@@ -129,7 +130,22 @@ def main():
         "converged_cost": round(cost_full, 3),
         "cost_ratio_rti_vs_converged": round(ratio, 5),
         "cost_parity_ok": bool(abs(ratio - 1.0) <= 0.01),
-    }))
+    }
+    # measured same-host CPU baseline in the reference's architecture
+    # (Python receding loop + native SQP solver; benchmarks/cpu_baseline.py)
+    # — the ">= 50x at matched closed-loop cost" yardstick
+    cb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "benchmarks", "cpu_baseline.json")
+    if os.path.exists(cb):
+        with open(cb) as fh:
+            base = json.load(fh)
+        cpu_ms = base.get("cpu_slsqp_ms_per_solve_median")
+        if cpu_ms:
+            out["cpu_slsqp_ms_per_solve"] = cpu_ms
+            out["vs_cpu_slsqp"] = round(cpu_ms / rti_ms, 1)
+            out["cpu_cost_parity_ratio"] = base.get(
+                "cost_ratio_ours_vs_slsqp")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
