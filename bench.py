@@ -107,15 +107,23 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, xs, us
 
-    def k_slope_ms(mpc, reps=7):
-        k_small, k_large = 10, 80
-        t_small, _, _ = timed_loop(mpc, k_small, reps)
-        t_large, xs, us = timed_loop(mpc, k_large, reps)
-        per_ms = (t_large - t_small) / (k_large - k_small) * 1e3
-        return max(per_ms, 1e-6), xs, us
+    def k_slope_ms(mpc, reps=7, estimates=3, k_small=20, k_large=140):
+        # longer loops + median of repeated slope estimates: the axon
+        # tunnel's per-call dispatch jitter (tens of ms, drifting) is the
+        # dominant error source at these sub-ms per-step scales
+        slopes = []
+        for _ in range(estimates):
+            t_small, _, _ = timed_loop(mpc, k_small, reps)
+            t_large, xs, us = timed_loop(mpc, k_large, reps)
+            slopes.append((t_large - t_small) / (k_large - k_small) * 1e3)
+        return max(float(np.median(slopes)), 1e-6), xs, us
 
     rti_ms, xs_rti, us_rti = k_slope_ms(mpc_rti)
-    full_ms, xs_full, us_full = k_slope_ms(mpc_full, reps=3)
+    # converged loop: same lengths so closed-loop costs are comparable
+    # (both cost evaluations below use the k_large=140-step run); one
+    # estimate with fewer reps — at ~10 ms/step the relative tunnel jitter
+    # is small and this keeps total bench wall time bounded
+    full_ms, xs_full, us_full = k_slope_ms(mpc_full, reps=2, estimates=1)
 
     cost_rti = closed_loop_cost(xs_rti, us_rti, x_sp)
     cost_full = closed_loop_cost(xs_full, us_full, x_sp)
