@@ -70,6 +70,19 @@ def test_dae_integrates_to_analytic_solution():
     np.testing.assert_allclose(float(a[0, 0]), -4.0, atol=1e-8)
 
 
+def test_dae_with_adaptive_integrator():
+    """DAE elimination composes with the adaptive DOPRI5 integrator (the
+    reference's CVODES handles exactly this combination [SURVEY C2/§2.2])."""
+    m = Model(Nx=1, Nu=1,
+              ode=lambda x, z, u: -z,
+              alg=lambda x, z, u: z - x * x,
+              Nz=1, dt=0.5, dtype=jnp.float64,
+              integrator="adaptive", rtol=1e-9, atol=1e-12)
+    x1 = m.integrate(jnp.array([2.0]), jnp.zeros(1))
+    np.testing.assert_allclose(float(x1[0]), 2.0 / (1.0 + 2.0 * 0.5),
+                               atol=1e-8)
+
+
 def test_dae_plant_in_closed_loop():
     """A DAE plant drives the full MPC stack (rk4 embedding + integrate
     truth) unchanged — the algebraic elimination is below the Model API."""
