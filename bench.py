@@ -89,9 +89,9 @@ def main():
     # immediately (budget sweep: benchmarks/RESULTS.md).
     mpc_rti = build_mpc(model, gp, dtype,
                         dict(al_iters=1, max_iters=1, ls_steps=8,
-                             penalty_init=1e4, parallel_kkt=True))
+                             penalty_init=1e4, fused_kkt=True))
     mpc_full = build_mpc(model, gp, dtype,
-                         dict(al_iters=4, max_iters=20, parallel_kkt=True))
+                         dict(al_iters=4, max_iters=20, fused_kkt=True))
 
     x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
     x_sp = jnp.asarray([14.0, 14.0, 1.8, 1.4], dtype)

@@ -228,6 +228,168 @@ def cholesky_pallas(a: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     return out[:n, :n].astype(dtype)
 
 
+# ------------------------------------------------- fused Riccati sweep
+
+def _chol_cols_small(a, n):
+    """Unrolled Cholesky of an (n, n) SPD value inside a kernel; returns the
+    lower factor built from static column slices (Mosaic lowers static value
+    slices; no ``.at[].set`` / dynamic_update_slice needed).  A non-PD pivot
+    yields NaN (sqrt of a negative) that propagates to the caller's
+    finiteness check — same failure semantics as ``ops.chol.chol_small``
+    with ``clamp=False``."""
+    rows2d = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols = []
+    for j in range(n):
+        s = a[:, j:j + 1]                               # (n, 1)
+        for k in range(j):
+            s = s - cols[k] * cols[k][j:j + 1, :]
+        dsq = jnp.sqrt(s[j:j + 1, :])                   # (1, 1)
+        cj = s / dsq
+        cj = jnp.where(rows2d > j, cj, 0.0)
+        cj = jnp.where(rows2d == j, jnp.broadcast_to(dsq, (n, 1)), cj)
+        cols.append(cj)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _chol_solve_small(l, b, n):
+    """Solve (L L') X = B for small static n with unrolled row slices;
+    B is (n, k)."""
+    ys = []
+    for i in range(n):                                   # L y = b
+        acc = b[i:i + 1, :]
+        for k in range(i):
+            acc = acc - l[i:i + 1, k:k + 1] * ys[k]
+        ys.append(acc / l[i:i + 1, i:i + 1])
+    xs = [None] * n
+    for i in range(n - 1, -1, -1):                       # L' x = y
+        acc = ys[i]
+        for k in range(i + 1, n):
+            acc = acc - l[k:k + 1, i:i + 1] * xs[k]
+        xs[i] = acc / l[i:i + 1, i:i + 1]
+    return jnp.concatenate(xs, axis=0)
+
+
+def _riccati_kernel(a_ref, b_ref, c_ref, qxx_ref, quu_ref, qxu_ref,
+                    qx_ref, qu_ref, qfxx_ref, qfx_ref, dx0_ref, reg_ref,
+                    dx_ref, du_ref, gain_ref, ff_ref, dec_ref,
+                    *, nt: int, nx: int, nu: int):
+    """The ENTIRE Riccati backward factorization + forward rollout as ONE
+    kernel launch.
+
+    Motivation (measured, v5e): at MPC sizes (Nt~20, nx~4, nu~2) the sweep
+    is pure launch latency — `lax.scan` costs ~350 us, trace-time unrolling
+    ~380 us (each tiny matmul is still its own kernel), the associative-scan
+    parallel form ~100 us.  All state here lives in registers/VMEM and the
+    stage loops are Python-unrolled (nt is static), so the same math runs in
+    a single launch.  Time-flattened 2D refs (stage t at rows [t*n,(t+1)*n))
+    keep every access a static 2D slice, which Mosaic lowers cleanly.
+    """
+    dec = jnp.zeros((1, 1), jnp.float32)
+    reg_eye = reg_ref[0, 0] * jnp.eye(nu, dtype=jnp.float32)
+
+    v_xx = qfxx_ref[...]                                 # (nx, nx)
+    v_x = qfx_ref[...].T                                 # (nx, 1)
+
+    gains = [None] * nt
+    ffs = [None] * nt
+    for t in range(nt - 1, -1, -1):
+        a = a_ref[t * nx:(t + 1) * nx, :]                # (nx, nx)
+        b = b_ref[t * nx:(t + 1) * nx, :]                # (nx, nu)
+        c = c_ref[t:t + 1, :].T                          # (nx, 1)
+        q_xx = qxx_ref[t * nx:(t + 1) * nx, :]
+        q_uu = quu_ref[t * nu:(t + 1) * nu, :]
+        q_xu = qxu_ref[t * nx:(t + 1) * nx, :]
+        q_x = qx_ref[t:t + 1, :].T                       # (nx, 1)
+        q_u = qu_ref[t:t + 1, :].T                       # (nu, 1)
+
+        av = jnp.dot(a.T, v_xx, preferred_element_type=jnp.float32)
+        bv = jnp.dot(b.T, v_xx, preferred_element_type=jnp.float32)
+        h_xx = q_xx + jnp.dot(av, a, preferred_element_type=jnp.float32)
+        h_uu = q_uu + jnp.dot(bv, b,
+                              preferred_element_type=jnp.float32) + reg_eye
+        h_xu = q_xu + jnp.dot(av, b, preferred_element_type=jnp.float32)
+        vc = v_x + jnp.dot(v_xx, c, preferred_element_type=jnp.float32)
+        h_x = q_x + jnp.dot(a.T, vc, preferred_element_type=jnp.float32)
+        h_u = q_u + jnp.dot(b.T, vc, preferred_element_type=jnp.float32)
+
+        l = _chol_cols_small(h_uu, nu)
+        sol = _chol_solve_small(
+            l, jnp.concatenate([h_xu.T, h_u], axis=1), nu)  # (nu, nx+1)
+        k_gain = -sol[:, :nx]
+        k_ff = -sol[:, nx:]                              # (nu, 1)
+        gains[t] = k_gain
+        ffs[t] = k_ff
+
+        v_xx = h_xx + jnp.dot(h_xu, k_gain,
+                              preferred_element_type=jnp.float32)
+        v_xx = 0.5 * (v_xx + v_xx.T)
+        v_x = h_x + jnp.dot(h_xu, k_ff, preferred_element_type=jnp.float32)
+        hk = jnp.dot(h_uu, k_ff, preferred_element_type=jnp.float32)
+        dec = dec - jnp.dot(k_ff.T, h_u + 0.5 * hk,
+                            preferred_element_type=jnp.float32)
+
+        gain_ref[t * nu:(t + 1) * nu, :] = k_gain
+        ff_ref[t:t + 1, :] = k_ff.T
+
+    dec_ref[0, 0] = dec[0, 0]
+
+    dx = dx0_ref[...].T                                  # (nx, 1)
+    for t in range(nt):
+        a = a_ref[t * nx:(t + 1) * nx, :]
+        b = b_ref[t * nx:(t + 1) * nx, :]
+        c = c_ref[t:t + 1, :].T
+        du = ffs[t] + jnp.dot(gains[t], dx,
+                              preferred_element_type=jnp.float32)
+        dx_ref[t:t + 1, :] = dx.T
+        du_ref[t:t + 1, :] = du.T
+        dx = (jnp.dot(a, dx, preferred_element_type=jnp.float32)
+              + jnp.dot(b, du, preferred_element_type=jnp.float32) + c)
+    dx_ref[nt:nt + 1, :] = dx.T
+
+
+def riccati_sweep_pallas(a, b, c, q_xx, q_uu, q_xu, q_x, q_u, qf_xx, qf_x,
+                         dx0, reg, interpret: bool = False):
+    """Single-launch Riccati sweep.  Stage arrays shaped as in
+    :class:`gpmpc_tpu.solvers.riccati.StageQP`; returns
+    ``(dx (Nt+1,nx), du (Nt,nu), gains (Nt,nu,nx), ffs (Nt,nu), exp_dec)``.
+    Semantics identical to ``riccati.solve`` (sequential sweep)."""
+    nt, nx, nu = b.shape
+    dtype = a.dtype
+    f32 = jnp.float32
+    args = (
+        a.reshape(nt * nx, nx).astype(f32),
+        b.reshape(nt * nx, nu).astype(f32),
+        c.astype(f32),
+        q_xx.reshape(nt * nx, nx).astype(f32),
+        q_uu.reshape(nt * nu, nu).astype(f32),
+        q_xu.reshape(nt * nx, nu).astype(f32),
+        q_x.astype(f32),
+        q_u.astype(f32),
+        qf_xx.astype(f32),
+        qf_x.reshape(1, nx).astype(f32),
+        dx0.reshape(1, nx).astype(f32),
+        jnp.asarray(reg, f32).reshape(1, 1),
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dx, du, gains, ffs, dec = pl.pallas_call(
+        functools.partial(_riccati_kernel, nt=nt, nx=nx, nu=nu),
+        in_specs=[vspec] * 11 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(vspec, vspec, vspec, vspec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt + 1, nx), f32),
+            jax.ShapeDtypeStruct((nt, nu), f32),
+            jax.ShapeDtypeStruct((nt * nu, nx), f32),
+            jax.ShapeDtypeStruct((nt, nu), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        interpret=interpret,
+    )(*args)
+    return (dx.astype(dtype), du.astype(dtype),
+            gains.reshape(nt, nu, nx).astype(dtype), ffs.astype(dtype),
+            dec[0, 0].astype(dtype))
+
+
 # ------------------------------------------------------- batched predict
 
 def _predict_kernel(zs_ref, xs_ref, alpha_ref, hyp_ref, mu_ref, ks_ref):

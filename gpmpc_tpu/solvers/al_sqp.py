@@ -273,7 +273,8 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
         def inner_body(carry):
             state, it, reg, done, nu_p = carry
             qp, defects = _build_qp(prob, state, params, mu, reg)
-            kkt_solve = (riccati.solve_parallel if cfg.parallel_kkt
+            kkt_solve = (riccati.solve_fused if cfg.fused_kkt
+                         else riccati.solve_parallel if cfg.parallel_kkt
                          else riccati.solve)
             sol = kkt_solve(qp, jnp.zeros((prob.nx,), dtype), reg)
 

@@ -237,6 +237,31 @@ def solve_parallel(qp: StageQP, dx0: jnp.ndarray, reg: jnp.ndarray | float
                            ok=finite, exp_dec=jnp.sum(decs))
 
 
+def solve_fused(qp: StageQP, dx0: jnp.ndarray, reg: jnp.ndarray | float
+                ) -> RiccatiSolution:
+    """Single-kernel Pallas Riccati sweep — same math and interface as
+    :func:`solve`, executed as ONE launch (the BASELINE north star's "Pallas
+    Riccati/Cholesky KKT sweep").
+
+    Measured motivation (v5e, Nt=20/nx=4/nu=2): the sweep is pure launch
+    latency at MPC sizes — sequential scan ~350 us, associative-scan
+    parallel ~100 us, this kernel ~10 us (see benchmarks/RESULTS.md).  The
+    kernel runs in f32 (TPU production dtype); off-TPU backends execute it
+    through the Pallas interpreter, so the function stays correct (if slow)
+    everywhere and the x64 parity path should keep using :func:`solve`.
+    """
+    from gpmpc_tpu.ops.pallas_kernels import riccati_sweep_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    dx, du, gains, ffs, dec = riccati_sweep_pallas(
+        qp.a, qp.b, qp.c, qp.q_xx, qp.q_uu, qp.q_xu, qp.q_x, qp.q_u,
+        qp.qf_xx, qp.qf_x, dx0, reg, interpret=interpret)
+    finite = (jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(du))
+              & jnp.all(jnp.isfinite(gains)))
+    return RiccatiSolution(dx=dx, du=du, gain_k=gains, ff_k=ffs,
+                           ok=finite, exp_dec=dec)
+
+
 def lqr_gain(a: jnp.ndarray, b: jnp.ndarray, q: jnp.ndarray, r: jnp.ndarray,
              max_iters: int = 1000, tol: float = 1e-9,
              return_converged: bool = False):

@@ -62,6 +62,10 @@ class SQPConfig:
     ls_c1: float = 1e-4
     parallel_kkt: bool = False      # associative-scan Riccati (O(log Nt)
     #                                 depth; worthwhile at long horizons)
+    fused_kkt: bool = False         # single-launch Pallas Riccati sweep
+    #                                 (fastest at MPC sizes on TPU; runs via
+    #                                 the Pallas interpreter off-TPU).  Takes
+    #                                 precedence over parallel_kkt.
 
 
 @dataclasses.dataclass(frozen=True)

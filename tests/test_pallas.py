@@ -36,6 +36,53 @@ def test_cholesky_pallas_matches_reference():
         np.testing.assert_allclose(got, ref, atol=2e-4 * scale)
 
 
+def test_fused_riccati_matches_sequential_sweep():
+    """The single-launch Pallas Riccati sweep reproduces riccati.solve on
+    random stage QPs (incl. cross terms, defects, nonzero dx0) and reports
+    NaN-driven failure for an indefinite H_uu like the reference sweep."""
+    import jax
+    from gpmpc_tpu.solvers import riccati
+
+    for nt, nx, nu, seed in [(20, 4, 2, 0), (13, 5, 3, 1), (8, 2, 1, 2)]:
+        rng = np.random.default_rng(seed)
+        dtype = jnp.float32
+        a = (0.9 * np.eye(nx)[None]
+             + 0.05 * rng.standard_normal((nt, nx, nx)))
+        b = 0.3 * rng.standard_normal((nt, nx, nu))
+        c = 0.02 * rng.standard_normal((nt, nx))
+        m = rng.standard_normal((nt, nx, nx))
+        q_xx = 0.5 * (m @ np.swapaxes(m, 1, 2)) + 2.0 * np.eye(nx)[None]
+        q_uu = np.tile(0.5 * np.eye(nu)[None], (nt, 1, 1))
+        q_xu = 0.1 * rng.standard_normal((nt, nx, nu))
+        qp = riccati.StageQP(
+            a=jnp.asarray(a, dtype), b=jnp.asarray(b, dtype),
+            c=jnp.asarray(c, dtype),
+            q_xx=jnp.asarray(q_xx, dtype), q_uu=jnp.asarray(q_uu, dtype),
+            q_xu=jnp.asarray(q_xu, dtype),
+            q_x=jnp.asarray(0.1 * rng.standard_normal((nt, nx)), dtype),
+            q_u=jnp.asarray(0.1 * rng.standard_normal((nt, nu)), dtype),
+            qf_xx=jnp.asarray(5.0 * np.eye(nx), dtype),
+            qf_x=jnp.asarray(0.1 * rng.standard_normal(nx), dtype))
+        dx0 = jnp.asarray(0.3 * rng.standard_normal(nx), dtype)
+        ref = riccati.solve(qp, dx0, 1e-6)
+        got = riccati.solve_fused(qp, dx0, 1e-6)
+        scale = float(jnp.max(jnp.abs(ref.dx))) + 1.0
+        np.testing.assert_allclose(np.asarray(got.dx), np.asarray(ref.dx),
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(got.du), np.asarray(ref.du),
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(got.gain_k),
+                                   np.asarray(ref.gain_k), atol=2e-5)
+        np.testing.assert_allclose(float(got.exp_dec), float(ref.exp_dec),
+                                   rtol=1e-4, atol=1e-6)
+        assert bool(got.ok)
+
+    # indefinite H_uu (negative q_uu, no reg) -> NaN -> ok=False
+    bad = qp._replace(q_uu=-jnp.asarray(q_uu, dtype))
+    got = riccati.solve_fused(bad, dx0, 0.0)
+    assert not bool(got.ok)
+
+
 def test_predict_batch_pallas_matches_reference():
     n, d, b = 90, 6, 33
     x = RNG.uniform(-2, 2, size=(n, d)).astype(np.float32)

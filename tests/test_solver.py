@@ -324,3 +324,20 @@ def test_converged_flag_uses_tolerances_and_kkt_stat():
     # tightening tol_kkt beyond reach flips the flag on the full solve
     res2 = solve(prob, None, init, SQPConfig(tol_kkt=1e-300))
     assert not bool(res2.converged)
+
+
+def test_alsqp_fused_kkt_matches_default():
+    """The single-launch Pallas KKT path (``fused_kkt=True``) reaches the
+    same solution as the default sweep on the box-constrained problem.
+    The kernel is f32, so the comparison bar is f32-grade."""
+    prob, a, b, q, r_cost, x_ref = _double_integrator_problem(umax=0.4)
+    x0 = jnp.array([0.0, 0.0])
+    init = init_state(prob, x0, params=None)
+    ref = solve(prob, None, init, SQPConfig())
+    fus = solve(prob, None, init, SQPConfig(fused_kkt=True))
+    assert float(fus.defect) < 1e-5
+    assert float(np.max(np.abs(np.asarray(fus.state.u)))) <= 0.4 + 1e-5
+    np.testing.assert_allclose(np.asarray(fus.state.u),
+                               np.asarray(ref.state.u), atol=2e-4)
+    np.testing.assert_allclose(float(fus.obj), float(ref.obj),
+                               rtol=1e-5, atol=1e-6)
