@@ -50,6 +50,7 @@ class Model:
                  clip_negative: bool = False,
                  integrator_substeps: int = 20,
                  integrator: str = "rk4",
+                 fused_integrator: bool = False,
                  rtol: float = 1e-6,
                  atol: float = 1e-9,
                  max_adaptive_steps: int = 10_000,
@@ -80,6 +81,13 @@ class Model:
             raise ValueError(f"unknown integrator {integrator!r} "
                              "(expected 'rk4' or 'adaptive')")
         self.integrator = integrator
+        # opt-in: run the RK4 substep chain as one Pallas kernel launch
+        # (the chain is launch-latency-bound on TPU — ~100 us for 10
+        # substeps at Nx=4, vs ~10 us fused).  Opt-in because the ODE must
+        # lower through Mosaic (pure jnp elementwise math does; exotic ops
+        # may not) and the kernel is f32 + not reverse-differentiable —
+        # plant truth only, never the NLP-embedded map.
+        self.fused_integrator = bool(fused_integrator)
         self.rtol = float(rtol)
         self.atol = float(atol)
         self.max_adaptive_steps = int(max_adaptive_steps)
@@ -153,6 +161,11 @@ class Model:
         if self.integrator == "adaptive":
             return self.integrate_adaptive(x, u)
         h = self.dt / self.integrator_substeps
+        if self.fused_integrator:
+            from gpmpc_tpu.ops.pallas_kernels import rk4_substeps_pallas
+            return rk4_substeps_pallas(
+                self.ode, x, u, h, self.integrator_substeps,
+                interpret=jax.default_backend() != "tpu")
 
         def body(xc, _):
             return self._rk4_step(xc, u, h), None

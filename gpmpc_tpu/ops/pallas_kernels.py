@@ -228,6 +228,50 @@ def cholesky_pallas(a: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     return out[:n, :n].astype(dtype)
 
 
+# --------------------------------------------- fused RK4 substep chain
+
+def rk4_substeps_pallas(ode, x, u, h: float, n_sub: int,
+                        interpret: bool = False):
+    """``n_sub`` RK4 substeps of ``ode(x, u)`` as ONE kernel launch.
+
+    The plant-truth integrate (``Model.integrate``) is a sequential chain of
+    4*n_sub tiny ODE evaluations; under ``lax.scan`` OR trace-time unrolling
+    each evaluation is its own kernel launch (~100 us for n_sub=10 at Nx=4
+    on v5e, measured — pure latency).  Here the user's pure-jnp ODE is
+    traced INTO the kernel body and the whole chain runs in registers:
+    one launch, ~10 us.  State/inputs ride as (1, n) rows; any jnp
+    elementwise math in the ODE lowers to VPU ops.
+    """
+    nx = x.shape[0]
+    nu = u.shape[0]
+    dtype = x.dtype
+    f32 = jnp.float32
+
+    def kernel(x_ref, u_ref, out_ref):
+        xv = x_ref[0, :]
+        uv = u_ref[0, :]
+
+        def f(z):
+            return ode(z, uv)
+
+        for _ in range(n_sub):
+            k1 = f(xv)
+            k2 = f(xv + (0.5 * h) * k1)
+            k3 = f(xv + (0.5 * h) * k2)
+            k4 = f(xv + h * k3)
+            xv = xv + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        out_ref[0, :] = xv
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nx), f32),
+        interpret=interpret,
+    )(x.reshape(1, nx).astype(f32), u.reshape(1, nu).astype(f32))
+    return out[0].astype(dtype)
+
+
 # ------------------------------------------------- fused Riccati sweep
 
 def _chol_cols_small(a, n):

@@ -36,6 +36,29 @@ def test_cholesky_pallas_matches_reference():
         np.testing.assert_allclose(got, ref, atol=2e-4 * scale)
 
 
+def test_fused_integrator_matches_scan():
+    """Model(fused_integrator=True) reproduces the lax.scan substep chain
+    exactly (same math, one kernel launch), incl. under vmap (data gen)."""
+    import jax
+    from gpmpc_tpu.models.dynamics import Model
+    from gpmpc_tpu.systems import four_tank_ode
+
+    kw = dict(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=0.5,
+              dtype=jnp.float32, integrator_substeps=10)
+    m0 = Model(**kw)
+    m1 = Model(**kw, fused_integrator=True)
+    x = jnp.asarray([8.0, 10.0, 1.0, 1.5], jnp.float32)
+    u = jnp.asarray([3.0, 3.0], jnp.float32)
+    np.testing.assert_allclose(np.asarray(m1.integrate(x, u)),
+                               np.asarray(m0.integrate(x, u)),
+                               rtol=1e-6, atol=1e-7)
+    xs = jnp.abs(jnp.asarray(RNG.standard_normal((8, 4)), jnp.float32)) + 1.0
+    us = jnp.abs(jnp.asarray(RNG.standard_normal((8, 2)), jnp.float32))
+    np.testing.assert_allclose(np.asarray(jax.vmap(m1.integrate)(xs, us)),
+                               np.asarray(jax.vmap(m0.integrate)(xs, us)),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_fused_riccati_matches_sequential_sweep():
     """The single-launch Pallas Riccati sweep reproduces riccati.solve on
     random stage QPs (incl. cross terms, defects, nonzero dx0) and reports
