@@ -36,45 +36,35 @@ import jax.numpy as jnp
 
 from gpmpc_tpu import GP, MPC, Model
 from gpmpc_tpu.systems import four_tank_ode
+from benchmarks.bench_spec import (Q_W, R_W, ULB, UUB, XLB, XUB, XSP, DT, NT,
+                                   MODEL_R, TRAIN_N, TRAIN_UUB, TRAIN_ULB,
+                                   TRAIN_XUB, TRAIN_XLB, closed_loop_cost)
 
 TARGET_MS = 1.0  # BASELINE north star: < 1 ms / MPC solve at N=20
 
 
-Q_W = np.diag([20.0, 20.0, 0.1, 0.1])
-R_W = 0.05 * np.eye(2)
-
-
 def build_mpc(model, gp, dtype, solver_opts):
-    return MPC(horizon=20 * model.dt, model=model, gp=gp, gp_method="TA",
+    return MPC(horizon=NT * model.dt, model=model, gp=gp, gp_method="TA",
                discrete_method="gp",
                Q=Q_W, R=R_W,
-               ulb=[0.0, 0.0], uub=[8.0, 8.0],
-               xlb=[0.5, 0.5, 0.1, 0.1], xub=[16.0, 16.0, 8.0, 8.0],
+               ulb=ULB, uub=UUB, xlb=XLB, xub=XUB,
                percentile=0.95, feedback=True, cov_updates=1,
                # LQR feedback gain linearized at the setpoint region (the
                # GP has no data at the zero-level default point)
-               op_x=np.array([14.0, 14.0, 1.8, 1.4]),
+               op_x=XSP,
                op_u=np.array([3.0, 3.0]),
                solver_opts=solver_opts, dtype=dtype)
 
 
-def closed_loop_cost(xs, us, x_sp):
-    """Realized closed-loop quadratic cost of a simulated run (host-side)."""
-    xs, us = np.asarray(xs, np.float64), np.asarray(us, np.float64)
-    ex = xs[:-1] - np.asarray(x_sp, np.float64)
-    return float(np.einsum("ti,ij,tj->", ex, Q_W, ex)
-                 + np.einsum("ti,ij,tj->", us, R_W, us))
-
-
 def main():
     dtype = jnp.float32  # TPU-native precision path
-    dt = 3.0
+    dt = DT
     model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=dt,
-                  R=np.diag([1e-3] * 4), clip_negative=True, dtype=dtype,
+                  R=MODEL_R, clip_negative=True, dtype=dtype,
                   integrator_substeps=10, fused_integrator=True)
     X, Y = model.generate_training_data(
-        100, uub=[6.0, 6.0], ulb=[0.0, 0.0],
-        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        TRAIN_N, uub=TRAIN_UUB, ulb=TRAIN_ULB,
+        xub=TRAIN_XUB, xlb=TRAIN_XLB,
         key=jax.random.PRNGKey(2))
     gp = GP(X, Y, mean_func="zero", gp_method="TA", multistart=1,
             max_iters=100, seed=1,
@@ -93,8 +83,9 @@ def main():
     mpc_full = build_mpc(model, gp, dtype,
                          dict(al_iters=4, max_iters=20, fused_kkt=True))
 
-    x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
-    x_sp = jnp.asarray([14.0, 14.0, 1.8, 1.4], dtype)
+    from benchmarks.bench_spec import X0
+    x0 = jnp.asarray(X0, dtype)
+    x_sp = jnp.asarray(XSP, dtype)
 
     def timed_loop(mpc, n_steps, reps=7):
         # compile once for this length

@@ -1,0 +1,39 @@
+"""The single source of truth for the headline benchmark problem instance.
+
+BASELINE config 2 (four-tank, N=20, box constraints): weights, bounds,
+start/setpoint, and the realized-cost metric.  Both ``bench.py`` (TPU
+headline) and ``benchmarks/cpu_baseline.py`` (reference-architecture CPU
+baseline) import THIS module — the "matched closed-loop cost" speedup claim
+is only valid while the two sides solve the identical problem, so the spec
+must not be duplicated.
+"""
+
+import numpy as np
+
+Q_W = np.diag([20.0, 20.0, 0.1, 0.1])
+R_W = 0.05 * np.eye(2)
+P_W = 10.0 * Q_W                     # MPC default terminal weight (P=10Q)
+ULB, UUB = np.array([0.0, 0.0]), np.array([8.0, 8.0])
+XLB = np.array([0.5, 0.5, 0.1, 0.1])
+XUB = np.array([16.0, 16.0, 8.0, 8.0])
+X0 = np.array([8.0, 10.0, 1.0, 1.5])
+XSP = np.array([14.0, 14.0, 1.8, 1.4])
+
+#: training-data sampling box + model noise (shared by both sides)
+TRAIN_N = 100
+TRAIN_UUB, TRAIN_ULB = [6.0, 6.0], [0.0, 0.0]
+TRAIN_XUB, TRAIN_XLB = [20.0, 20.0, 6.0, 6.0], [1.0, 1.0, 0.5, 0.5]
+DT = 3.0
+NT = 20
+MODEL_R = np.diag([1e-3] * 4)
+
+
+def closed_loop_cost(xs, us, x_sp=None):
+    """Realized closed-loop quadratic cost of a simulated run (host-side,
+    f64): sum_t [(x_t - x_sp)' Q (x_t - x_sp) + u_t' R u_t]."""
+    x_sp = XSP if x_sp is None else x_sp
+    xs = np.asarray(xs, np.float64)
+    us = np.asarray(us, np.float64)
+    ex = xs[:-1] - np.asarray(x_sp, np.float64)
+    return float(np.einsum("ti,ij,tj->", ex, Q_W, ex)
+                 + np.einsum("ti,ij,tj->", us, R_W, us))

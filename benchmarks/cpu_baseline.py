@@ -50,29 +50,26 @@ from scipy.optimize import minimize  # noqa: E402
 from gpmpc_tpu import GP, MPC, Model  # noqa: E402
 from gpmpc_tpu.models.gp import mean_fn_functional  # noqa: E402
 from gpmpc_tpu.systems import four_tank_ode  # noqa: E402
+# the problem instance (weights, bounds, start/setpoint, cost metric) is
+# SHARED with bench.py via this module — the "matched closed-loop cost"
+# claim depends on both sides solving the identical problem
+from benchmarks.bench_spec import (  # noqa: E402
+    Q_W, R_W, P_W, ULB, UUB, XLB, XUB, X0, XSP, DT, MODEL_R,
+    TRAIN_N, TRAIN_UUB, TRAIN_ULB, TRAIN_XUB, TRAIN_XLB, closed_loop_cost)
 
 OUT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "cpu_baseline.json")
 
-Q_W = np.diag([20.0, 20.0, 0.1, 0.1])
-R_W = 0.05 * np.eye(2)
-P_W = 10.0 * Q_W                     # MPC default terminal weight (P=10Q)
-ULB, UUB = np.array([0.0, 0.0]), np.array([8.0, 8.0])
-XLB = np.array([0.5, 0.5, 0.1, 0.1])
-XUB = np.array([16.0, 16.0, 8.0, 8.0])
-X0 = np.array([8.0, 10.0, 1.0, 1.5])
-XSP = np.array([14.0, 14.0, 1.8, 1.4])
 
-
-def build_problem(nt=20, n_steps=20, seed=2, n_train=100):
+def build_problem(nt=20, n_steps=20, seed=2, n_train=TRAIN_N):
     """Same model + trained GP as bench.py (x64 here for the CPU path)."""
-    dt = 3.0
+    dt = DT
     model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=dt,
-                  R=np.diag([1e-3] * 4), clip_negative=True,
+                  R=MODEL_R, clip_negative=True,
                   dtype=jnp.float64, integrator_substeps=10)
     X, Y = model.generate_training_data(
-        n_train, uub=[6.0, 6.0], ulb=[0.0, 0.0],
-        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        n_train, uub=TRAIN_UUB, ulb=TRAIN_ULB,
+        xub=TRAIN_XUB, xlb=TRAIN_XLB,
         key=jax.random.PRNGKey(seed))
     gp = GP(X, Y, mean_func="zero", gp_method="ME", multistart=1,
             max_iters=100, seed=1,
@@ -114,13 +111,6 @@ def make_nlp(gp, nt, nx=4, nu=2):
     lb = np.concatenate([np.tile(XLB, nt + 1), np.tile(ULB, nt)])
     ub = np.concatenate([np.tile(XUB, nt + 1), np.tile(UUB, nt)])
     return f, g, gj, lb, ub, split, n_w
-
-
-def closed_loop_cost(xs, us, x_sp):
-    ex = np.asarray(xs)[:-1] - x_sp
-    us = np.asarray(us)
-    return float(np.einsum("ti,ij,tj->", ex, Q_W, ex)
-                 + np.einsum("ti,ij,tj->", us, R_W, us))
 
 
 def run_slsqp_loop(model, gp, nt, n_steps):

@@ -26,28 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-
-def _sync(out):
-    """Force completion.  ``block_until_ready`` on the axon tunnel can
-    return before the computation finishes (observed: a 49k-solve study
-    "completing" in 1 ms); a device-to-host fetch of one output is the
-    reliable sync."""
-    import numpy as np
-    leaves = jax.tree.leaves(out)
-    np.asarray(leaves[0])
-    return out
-
-
-def _slope(run, k1, k2, reps=5):
-    def t(k):
-        _sync(run(k))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _sync(run(k))
-            best = min(best, time.perf_counter() - t0)
-        return best
-    return (t(k2) - t(k1)) / (k2 - k1)
+from benchmarks._timing import slope as _slope, sync as _sync
 
 
 def scan_bench(op, k1=256, k2=2048):

@@ -12,29 +12,12 @@ Usage: python benchmarks/profile_step.py [--cpu]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-
-def _sync(out):
-    import numpy as np
-    np.asarray(jax.tree.leaves(out)[0])
-    return out
-
-
-def _slope(run, k1, k2, reps=5):
-    def t(k):
-        _sync(run(k))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _sync(run(k))
-            best = min(best, time.perf_counter() - t0)
-        return best
-    return (t(k2) - t(k1)) / (k2 - k1)
+from benchmarks._timing import slope as _slope
 
 
 def main():

@@ -96,6 +96,10 @@ def main(quick: bool = False, use_tpu: bool = False):
           f"|angle err|={final_err:.3f} rad  max|u|={np.abs(us).max():.2f} "
           f"(limit {u_max})")
     assert np.abs(us).max() <= u_max + 1e-6
+    # self-check: actually upright (quick mode is still settling at the end
+    # of its shorter sim, hence the looser bound)
+    assert final_err < (0.35 if quick else 0.1), \
+        f"swing-up failed: |angle err|={final_err:.3f} rad"
     mpc.plot(filename="pendulum_states.png")
     print("plot written: pendulum_states.png")
     return final_err

@@ -88,6 +88,17 @@ class Model:
         # may not) and the kernel is f32 + not reverse-differentiable —
         # plant truth only, never the NLP-embedded map.
         self.fused_integrator = bool(fused_integrator)
+        if self.fused_integrator:
+            if dtype == jnp.float64:
+                raise ValueError(
+                    "fused_integrator=True runs in f32 (TPU production "
+                    "dtype) — it would silently break the x64 parity path; "
+                    "use the default integrator for float64 models")
+            if alg is not None:
+                raise ValueError(
+                    "fused_integrator=True does not support DAE (alg) "
+                    "systems: the Newton elimination's fori_loop/jacfwd "
+                    "does not lower through Mosaic")
         self.rtol = float(rtol)
         self.atol = float(atol)
         self.max_adaptive_steps = int(max_adaptive_steps)
@@ -210,7 +221,15 @@ class Model:
         (``casadi.integrator`` [SURVEY C2/§2.2]).  jit/vmap-compatible and
         forward-mode differentiable (``lax.while_loop`` has no reverse
         rule — for NLP embedding keep the default fixed-step ``rk4`` map,
-        which differentiates both ways)."""
+        which differentiates both ways).
+
+        Failure is NOT silent: if the step budget is exhausted before
+        reaching ``dt``, or any step had to be force-accepted at the minimum
+        step size with its error estimate still above tolerance (stiff
+        problem beyond this integrator — CVODES' BDF territory), the result
+        is poisoned with NaN so downstream consumers (golden generation,
+        ``discrete_method='exact'``, the solver's finiteness guards) see the
+        failure instead of trusting a truncated or inaccurate state."""
         dtype = x.dtype
         rtol = jnp.asarray(self.rtol if rtol is None else rtol, dtype)
         atol = jnp.asarray(self.atol if atol is None else atol, dtype)
@@ -221,27 +240,32 @@ class Model:
         safety, p_order = 0.9, 5.0
 
         def cond(carry):
-            t, _x, _h, n = carry
+            t, _x, _h, n, _bad = carry
             return (t < t_end) & (n < self.max_adaptive_steps)
 
         def body(carry):
-            t, xc, h, n = carry
+            t, xc, h, n, bad = carry
             h = jnp.minimum(h, t_end - t)
             x5, err = self._dopri5_step(xc, u, h)
             scale = atol + rtol * jnp.maximum(jnp.abs(xc), jnp.abs(x5))
             enorm = jnp.sqrt(jnp.mean((err / scale) ** 2))
             accept = (enorm <= 1.0) | (h <= h_min)
+            # a force-accept at h_min with error still above tolerance means
+            # the error control has failed (stiffness beyond RK5(4))
+            bad = bad | ((enorm > 1.0) & (h <= h_min))
             t_n = jnp.where(accept, t + h, t)
             x_n = jnp.where(accept, x5, xc)
             # standard controller: h *= clip(0.9 * enorm^(-1/5), 0.2, 5)
             fac = safety * jnp.power(jnp.maximum(enorm, 1e-10),
                                      -1.0 / p_order)
             h_n = jnp.maximum(h * jnp.clip(fac, 0.2, 5.0), h_min)
-            return t_n, x_n, h_n, n + 1
+            return t_n, x_n, h_n, n + 1, bad
 
-        _, xf, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), dtype), x, h0, jnp.zeros((), jnp.int32)))
-        return xf
+        t_f, xf, _, _, bad = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), dtype), x, h0,
+                         jnp.zeros((), jnp.int32), jnp.asarray(False)))
+        failed = bad | (t_f < t_end)      # budget exhausted mid-interval
+        return jnp.where(failed, jnp.full_like(xf, jnp.nan), xf)
 
     # ------------------------------------------------------------ simulate
 

@@ -18,7 +18,9 @@ Usage::
 
     art = export_solve_step(mpc)            # bytes
     step = load_solve_step(art)             # callable
-    u0, x_pred, obj = step(warm, x0, x_sp, u_prev, sigma0, con_par, consts)
+    u0, warm, obj = step(warm, x0, x_sp, u_prev, sigma0, con_par, consts)
+    # feed `warm` back into the next call (RTI warm start); the predicted
+    # state trajectory is warm.x
 
 ``warm``/``consts`` pytrees for the first call come from the live MPC
 (``mpc._init_warm(...)``, ``mpc.consts``) or from any persisted copies of
@@ -70,7 +72,12 @@ def export_solve_step(mpc, path: str | None = None,
     portable StableHLO artifact.  Returns the bytes; writes them to ``path``
     if given.  The exported signature is
     ``(warm, x0, x_sp, u_prev, sigma0, con_par, consts) ->
-    (u0, x_traj, obj)`` with the same pytree structures as the live MPC.
+    (u0, warm_next, obj)`` with the same pytree structures as the live MPC.
+    ``warm_next`` is the updated solver state (shifted trajectory + AL
+    multipliers): a deployed receding loop MUST feed it back as the next
+    call's ``warm`` — the RTI budgets the controller is tuned for
+    (single-Newton tracking, warm-carried multipliers) assume it.  The
+    predicted state trajectory is ``warm_next.x``.
 
     ``platforms`` enables cross-platform lowering — e.g.
     ``platforms=("cpu", "tpu")`` builds the controller offline on a CPU host
@@ -82,7 +89,7 @@ def export_solve_step(mpc, path: str | None = None,
         state, u0, _sigmas, info = mpc._solve_step(
             warm, x0, x_sp, u_prev, sigma0, con_par, consts)
         u0 = jnp.clip(u0, consts.ulb, consts.uub)
-        return u0, state.x, info.obj
+        return u0, state, info.obj
 
     exported = jax_export.export(
         jax.jit(step), platforms=platforms)(*_example_args(mpc))
@@ -95,9 +102,10 @@ def export_solve_step(mpc, path: str | None = None,
 
 def load_solve_step(blob_or_path):
     """Rehydrate an exported solve step into a callable.  Accepts the bytes
-    returned by :func:`export_solve_step` or a filesystem path."""
-    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
-            blob_or_path, bytes):
+    returned by :func:`export_solve_step`, or a filesystem path (str or
+    os.PathLike)."""
+    import os
+    if isinstance(blob_or_path, (str, os.PathLike)):
         with open(blob_or_path, "rb") as fh:
             blob = fh.read()
     else:

@@ -43,7 +43,7 @@ def test_exported_step_matches_live(tmp_path):
     args = _example_args(mpc,
                          x0=jnp.asarray([8.0, 10.0, 1.0, 1.5]),
                          x_sp=jnp.asarray([14.0, 14.0, 1.8, 1.4]))
-    u0_a, xtraj_a, obj_a = step(*args)
+    u0_a, warm_a, obj_a = step(*args)
 
     # live reference
     warm, x0, x_sp, u_prev, sigma0, con_par, consts = args
@@ -53,18 +53,21 @@ def test_exported_step_matches_live(tmp_path):
 
     np.testing.assert_allclose(np.asarray(u0_a), np.asarray(u0_b),
                                rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(xtraj_a), np.asarray(state.x),
+    np.testing.assert_allclose(np.asarray(warm_a.x), np.asarray(state.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(warm_a.lam), np.asarray(state.lam),
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(float(obj_a), float(info.obj), rtol=1e-10)
 
-    # the artifact is self-contained: drives a receding loop without
-    # touching the MPC object again
-    x = x0
+    # the artifact is self-contained AND warm-startable: drives a receding
+    # loop threading the returned solver state, never touching the MPC again
+    x, w = x0, warm
     for _ in range(3):
-        u0, xtraj, _ = step(warm, x, x_sp, u_prev, sigma0, con_par, consts)
+        u0, w, _ = step(w, x, x_sp, u_prev, sigma0, con_par, consts)
         x = mpc.model.integrate(x, u0)
         u_prev = u0
     assert np.isfinite(np.asarray(x)).all()
+    assert np.isfinite(np.asarray(w.x)).all()
 
 
 def test_cross_platform_export_runs_on_cpu():
@@ -75,7 +78,7 @@ def test_cross_platform_export_runs_on_cpu():
     step = load_solve_step(blob)
     args = _example_args(mpc, x0=jnp.asarray([8.0, 10.0, 1.0, 1.5]),
                          x_sp=jnp.asarray([14.0, 14.0, 1.8, 1.4]))
-    u0_a, _, _ = step(*args)
+    u0_a, _w, _ = step(*args)
 
     warm, x0, x_sp, u_prev, sigma0, con_par, consts = args
     _, u0_b, _, _ = mpc._solve_step(warm, x0, x_sp, u_prev, sigma0,

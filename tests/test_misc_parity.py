@@ -83,6 +83,38 @@ def test_dae_with_adaptive_integrator():
                                atol=1e-8)
 
 
+def test_adaptive_integrator_poisons_on_failure():
+    """The adaptive integrator must not silently return a truncated or
+    uncontrolled-error state: a stiff problem it cannot resolve (error above
+    tolerance even at the minimum step) yields NaN, not a plausible-looking
+    wrong answer."""
+    lam = 1e9
+    m = Model(Nx=1, Nu=1, ode=lambda x, u: -lam * x, dt=1.0,
+              dtype=jnp.float64, integrator="adaptive",
+              rtol=1e-10, atol=1e-12, max_adaptive_steps=50)
+    out = m.integrate(jnp.array([1.0]), jnp.zeros(1))
+    assert not bool(jnp.isfinite(out).all())
+
+    # and a resolvable problem is still integrated accurately
+    m2 = Model(Nx=1, Nu=1, ode=lambda x, u: -x, dt=1.0,
+               dtype=jnp.float64, integrator="adaptive",
+               rtol=1e-10, atol=1e-12)
+    out2 = m2.integrate(jnp.array([1.0]), jnp.zeros(1))
+    np.testing.assert_allclose(float(out2[0]), np.exp(-1.0), rtol=1e-8)
+
+
+def test_fused_integrator_guards():
+    """fused_integrator rejects configurations that would silently break:
+    x64 (kernel is f32) and DAE systems (Newton elimination cannot lower)."""
+    import pytest
+    with pytest.raises(ValueError, match="f32"):
+        Model(Nx=1, Nu=1, ode=lambda x, u: -x, dt=0.1,
+              dtype=jnp.float64, fused_integrator=True)
+    with pytest.raises(ValueError, match="DAE"):
+        Model(Nx=1, Nu=1, ode=lambda x, z, u: -z, alg=lambda x, z, u: z - x,
+              Nz=1, dt=0.1, dtype=jnp.float32, fused_integrator=True)
+
+
 def test_dae_plant_in_closed_loop():
     """A DAE plant drives the full MPC stack (rk4 embedding + integrate
     truth) unchanged — the algebraic elimination is below the Model API."""
