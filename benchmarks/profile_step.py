@@ -61,7 +61,7 @@ def main():
               dtype=dtype)
 
     x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
-    x_sp = jnp.asarray([14.0, 14.0, 1.8, 1.4], dtype)
+    x_sp = mpc._ref_window(jnp.asarray([14.0, 14.0, 1.8, 1.4], dtype))
     u_prev = jnp.zeros(2, dtype)
     sigma0 = jnp.zeros((4, 4), dtype)
     con_par = jnp.zeros(0, dtype)

@@ -84,7 +84,10 @@ class MPCParams(NamedTuple):
     parameter vector packed each step [SURVEY §3.4]) + the constant arrays."""
 
     x0: jnp.ndarray          # (Nx,) current state
-    x_sp: jnp.ndarray        # (Nx,) setpoint
+    x_sp: jnp.ndarray        # (Nt+1, Nx) per-stage reference window (a fixed
+    #                          setpoint is broadcast; a trajectory reference
+    #                          gives the NLP true preview — beyond-reference,
+    #                          the upstream x_sp is a single point [SURVEY C6])
     u_prev: jnp.ndarray      # (Nu,) last applied input (delta-u penalty)
     margins_x: jnp.ndarray   # (Nt+1, Nx) chance tightening on state bounds
     margins_u: jnp.ndarray   # (Nt, Nu) tightening on input bounds (feedback)
@@ -419,10 +422,11 @@ class MPC:
             c0 = params.consts
             x, u_prev = self._split(xa)
             sig = params.sigmas[t]
+            x_ref = params.x_sp[t]
             if self.cost_func == "quad":
-                c = cost_lib.expected_quadratic(x, sig, params.x_sp, c0.q)
+                c = cost_lib.expected_quadratic(x, sig, x_ref, c0.q)
             else:
-                c = cost_lib.expected_saturating(x, sig, params.x_sp, c0.q)
+                c = cost_lib.expected_saturating(x, sig, x_ref, c0.q)
             du_sp = u - c0.u_sp
             c = c + du_sp @ c0.r @ du_sp
             if self.aug:
@@ -439,10 +443,11 @@ class MPC:
             c0 = params.consts
             x, _ = self._split(xa)
             sig = params.sigmas[nt]
+            x_ref = params.x_sp[nt]
             if self.cost_func == "quad":
-                c = cost_lib.expected_quadratic(x, sig, params.x_sp, c0.p)
+                c = cost_lib.expected_quadratic(x, sig, x_ref, c0.p)
             else:
-                c = cost_lib.expected_saturating(x, sig, params.x_sp, c0.p)
+                c = cost_lib.expected_saturating(x, sig, x_ref, c0.p)
             if self.lam_state is not None:
                 mx = params.margins_x[nt]
                 viol = (jnp.maximum(x - (c0.xub - mx), 0.0)
@@ -478,7 +483,7 @@ class MPC:
                       ((c0.xlb + mx) - x) / c0.x_scale]
             if self.terminal_constraint is not None:
                 # ||x_N - x_sp||^2 <= terminal_constraint [SURVEY C6, conf. M]
-                e = x - params.x_sp
+                e = x - params.x_sp[nt]
                 g.append(jnp.array([e @ e - self.terminal_constraint]))
             if not g:
                 return jnp.zeros((0,), xa.dtype)
@@ -520,6 +525,19 @@ class MPC:
 
     def _augment_x0(self, x0, u_prev):
         return jnp.concatenate([x0, u_prev]) if self.aug else x0
+
+    def _ref_window(self, x_sp):
+        """Normalize a reference to the (Nt+1, Nx) per-stage window the NLP
+        consumes: a fixed setpoint (Nx,) is broadcast; a (Nt+1, Nx) window
+        passes through (true preview over the horizon)."""
+        x_sp = jnp.asarray(x_sp, self.dtype)
+        if x_sp.ndim == 1:
+            return jnp.broadcast_to(x_sp[None, :], (self.Nt + 1, self.Nx))
+        if x_sp.shape != (self.Nt + 1, self.Nx):
+            raise ValueError(
+                f"x_sp must be (Nx,) or (Nt+1, Nx)=({self.Nt + 1}, "
+                f"{self.Nx}); got {x_sp.shape}")
+        return x_sp
 
     def _solve_step(self, warm: al_sqp.SolverState, x0, x_sp, u_prev,
                     sigma0, con_par, consts: MPCConsts, cfg=None):
@@ -564,7 +582,7 @@ class MPC:
         ``(u0, warm_state, sigmas, info)`` — for driving a real plant
         externally while keeping the solve on device."""
         x0 = jnp.asarray(x0, self.dtype)
-        x_sp = jnp.asarray(x_sp, self.dtype)
+        x_sp = self._ref_window(x_sp)
         if u_prev is None:
             u_prev = jnp.zeros(self.Nu, self.dtype)
         cold = warm is None
@@ -596,27 +614,32 @@ class MPC:
 
     # ------------------------------------------------------------ closed loop
 
-    def _closed_loop(self, x0, x_sp, u0_guess, con_pars, noise_w, consts,
-                     opost, n_steps, noise):
+    def _closed_loop(self, x0, ref_windows, u0_guess, con_pars, noise_w,
+                     consts, opost, n_steps, noise):
         """The fused receding-horizon loop: one ``lax.scan`` over control
         steps — solve, apply u0* to the plant, shift, repeat
-        [SURVEY §3.4; BASELINE 'zero host round-trips']."""
+        [SURVEY §3.4; BASELINE 'zero host round-trips'].
+
+        ``ref_windows`` is (n_steps, Nt+1, Nx): the per-step reference
+        window each solve previews (constant setpoint = identical windows;
+        trajectory tracking = a sliding window over the reference)."""
         u_start = jnp.zeros(self.Nu, self.dtype)
-        warm = self._init_warm(self._augment_x0(x0, u_start), x_sp, u0_guess)
+        warm = self._init_warm(self._augment_x0(x0, u_start),
+                               ref_windows[0], u0_guess)
         sigma0 = jnp.zeros((self.Nx, self.Nx), self.dtype)
 
         # cold-start preparation: one full-budget solve preconditions the
         # warm state so the in-loop (possibly RTI-grade) budget only tracks
         if self.init_sqp_cfg != self.sqp_cfg:
             warm, _, _, _ = self._solve_step(
-                warm, x0, x_sp, u_start, sigma0,
+                warm, x0, ref_windows[0], u_start, sigma0,
                 con_pars[0] if con_pars.shape[0] else
                 jnp.zeros(self.num_con_par, self.dtype),
                 consts, cfg=self.init_sqp_cfg)
 
         def step(carry, inp):
             x, warm, u_prev, opost = carry
-            con_par, w = inp
+            x_sp, con_par, w = inp
             if self.online_capacity is not None:
                 consts_k = consts._replace(
                     post=self._og.as_gp_posterior(opost))
@@ -646,8 +669,8 @@ class MPC:
             return (x_next, warm, u_cmd, opost), out
 
         (x_last, _, _, opost), (xs, us, sig1s, infos) = jax.lax.scan(
-            step, (x0, warm, u_start, opost), (con_pars, noise_w),
-            length=n_steps)
+            step, (x0, warm, u_start, opost),
+            (ref_windows, con_pars, noise_w), length=n_steps)
         xs = jnp.concatenate([xs, x_last[None]], axis=0)
         return xs, us, sig1s, infos, opost
 
@@ -656,6 +679,12 @@ class MPC:
               key: Optional[jax.Array] = None):
         """Closed-loop receding-horizon simulation [SURVEY C6 ``MPC.solve``].
 
+        ``x_sp`` is a fixed setpoint (Nx,) — the reference's semantics — or
+        a reference TRAJECTORY (M, Nx) with M >= n_steps: step k's solve
+        previews the sliding window ``ref[k : k+Nt+1]`` (held at the final
+        row past the end), giving the controller true preview of upcoming
+        reference motion (beyond-reference capability).
+
         Returns ``(x_sim (M+1, Nx), u_sim (M, Nu))`` like the reference;
         per-step diagnostics and predicted covariances are stored for
         ``plot()`` and available via ``last_run``.
@@ -663,6 +692,18 @@ class MPC:
         n_steps = int(round(sim_time / self.dt))
         x0 = jnp.asarray(x0, self.dtype)
         x_sp = jnp.asarray(x_sp, self.dtype)
+        if x_sp.ndim == 1:
+            ref_windows = jnp.broadcast_to(
+                x_sp[None, None, :], (n_steps, self.Nt + 1, self.Nx))
+        else:
+            if x_sp.shape[0] < n_steps:
+                raise ValueError(
+                    f"reference trajectory needs >= n_steps={n_steps} rows; "
+                    f"got {x_sp.shape}")
+            idx = jnp.clip(jnp.arange(n_steps)[:, None]
+                           + jnp.arange(self.Nt + 1)[None, :],
+                           0, x_sp.shape[0] - 1)
+            ref_windows = x_sp[idx]                # (n_steps, Nt+1, Nx)
         u0_guess = (jnp.tile(jnp.asarray(u0, self.dtype)[None], (self.Nt, 1))
                     if u0 is not None else None)
 
@@ -687,7 +728,7 @@ class MPC:
                  else None)
         t_start = time.perf_counter()
         xs, us, sig1s, infos, opost = self._closed_loop_jit(
-            x0, x_sp, u0_guess, con_pars, noise_w, self.consts, opost,
+            x0, ref_windows, u0_guess, con_pars, noise_w, self.consts, opost,
             n_steps=n_steps, noise=noise)
         xs.block_until_ready()
         wall = time.perf_counter() - t_start
@@ -702,7 +743,9 @@ class MPC:
             "stat": np.asarray(infos.stat),
             "iters": np.asarray(infos.iters),
             "converged": np.asarray(infos.converged),
-            "x_sp": np.asarray(x_sp),
+            # per-step applied reference (n_steps, Nx) — constant rows for a
+            # fixed setpoint, the tracked curve for a trajectory reference
+            "x_sp": np.asarray(ref_windows[:, 0, :]),
             "wall_time_total": wall,
             "wall_time_per_step": wall / max(n_steps, 1),
             "gp_points": (int(opost.count)
@@ -743,7 +786,8 @@ class MPC:
                 ax.axhline(float(self.xub[i]), ls="--", c="r", lw=0.8)
             if float(self.xlb[i]) > -_BIG:
                 ax.axhline(float(self.xlb[i]), ls="--", c="r", lw=0.8)
-            ax.axhline(float(r["x_sp"][i]), ls=":", c="g", lw=0.8)
+            ax.plot(t_u, r["x_sp"][:, i], ls=":", c="g", lw=0.9,
+                    label="reference")
             ax.legend(loc="best", fontsize=7)
         for j in range(self.Nu):
             ax = axes[self.Nx + j]

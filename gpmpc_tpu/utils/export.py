@@ -57,8 +57,8 @@ _register_pytrees()
 def _example_args(mpc, x0=None, x_sp=None):
     dtype = mpc.dtype
     x0 = jnp.zeros(mpc.Nx, dtype) if x0 is None else jnp.asarray(x0, dtype)
-    x_sp = (jnp.zeros(mpc.Nx, dtype) if x_sp is None
-            else jnp.asarray(x_sp, dtype))
+    x_sp = mpc._ref_window(jnp.zeros(mpc.Nx, dtype) if x_sp is None
+                           else jnp.asarray(x_sp, dtype))
     u_prev = jnp.zeros(mpc.Nu, dtype)
     sigma0 = jnp.zeros((mpc.Nx, mpc.Nx), dtype)
     con_par = jnp.zeros(mpc.num_con_par, dtype)

@@ -126,6 +126,54 @@ def test_mpc_hybrid_and_exact_modes(tank_model, tank_gp):
         assert np.all(np.isfinite(np.asarray(xs)))
 
 
+def test_mpc_trajectory_reference_tracking(tank_model):
+    """Time-varying reference support (beyond-reference: the upstream x_sp
+    is a single point [SURVEY C6]).  Three properties:
+    (1) a constant trajectory reference reproduces the fixed-setpoint run
+        exactly; (2) with a step-change reference the previewing controller
+        starts moving toward the new level BEFORE the change takes effect
+        (the horizon window sees it coming); (3) it settles at the final
+        reference."""
+    kwargs = dict(horizon=5 * DT, model=tank_model, gp=None, gp_method="ME",
+                  discrete_method="rk4",
+                  Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+                  ulb=[0.0, 0.0], uub=[8.0, 8.0],
+                  feedback=False, percentile=None, cov_updates=1)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    n_steps = 16
+
+    # (1) constant trajectory == fixed setpoint, bit-for-bit
+    mpc = MPC(**kwargs)
+    xs_fix, us_fix = mpc.solve(x0=x0, sim_time=n_steps * DT, x_sp=X_SS,
+                               noise=False)
+    mpc2 = MPC(**kwargs)
+    ref_const = np.tile(X_SS, (n_steps + mpc2.Nt + 1, 1))
+    xs_traj, us_traj = mpc2.solve(x0=x0, sim_time=n_steps * DT,
+                                  x_sp=ref_const, noise=False)
+    np.testing.assert_allclose(np.asarray(xs_traj), np.asarray(xs_fix),
+                               rtol=1e-12, atol=1e-12)
+
+    # (2)+(3) step-change reference: level A for k_switch steps, then B
+    a_lvl = X_SS
+    b_lvl = np.array([10.0, 10.5, 1.5, 1.2])
+    k_switch = 10
+    ref = np.vstack([np.tile(a_lvl, (k_switch, 1)),
+                     np.tile(b_lvl, (n_steps + mpc2.Nt + 1 - k_switch, 1))])
+    mpc3 = MPC(**kwargs)
+    xs, us = mpc3.solve(x0=x0, sim_time=n_steps * DT, x_sp=ref, noise=False)
+    xs = np.asarray(xs)
+    # preview: at the switch step the state has already left level A toward
+    # B (the window saw B coming Nt steps early); h1 gap A->B is ~2.4 cm
+    toward = a_lvl[0] - xs[k_switch, 0]
+    assert toward > 0.3, f"no anticipation: h1 moved {toward:.3f} toward B"
+    # settles at the final reference
+    assert np.abs(xs[-1, :2] - b_lvl[:2]).max() < 0.5
+    # last_run stores the per-step applied reference for plotting
+    assert mpc3.last_run["x_sp"].shape == (n_steps, 4)
+    np.testing.assert_allclose(mpc3.last_run["x_sp"][0], a_lvl)
+    np.testing.assert_allclose(mpc3.last_run["x_sp"][-1], b_lvl)
+
+
 def test_mpc_saturating_cost_and_delta_u(tank_model):
     """costFunc='sat' + delta-u penalty S (state augmentation path)."""
     mpc = MPC(horizon=4 * DT, model=tank_model, gp=None,
