@@ -176,7 +176,8 @@ def main():
                   percentile=pc, feedback=pc is not None, cov_updates=1,
                   op_x=np.array([14.0, 14.0, 1.8, 1.4]),
                   op_u=np.array([3.0, 3.0]),
-                  solver_opts=dict(al_iters=1, max_iters=2, ls_steps=4),
+                  solver_opts=dict(al_iters=1, max_iters=2, ls_steps=4,
+                                   fused_kkt=not args.cpu),
                   dtype=dtype)
         x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
         x_sp = jnp.asarray([14.0, 14.0, 1.8, 1.4], dtype)

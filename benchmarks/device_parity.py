@@ -1,0 +1,143 @@
+"""Device parity check: TPU f32 production path vs CPU x64 parity path.
+
+SURVEY §4 ("Device parity: CPU-x64 vs TPU runs within tolerance tiers") —
+the CI suite runs on CPU only, so this script provides the measured TPU
+side: the SAME closed-loop problem (bench_spec instance, deterministic, no
+noise) is run on the TPU f32 path and compared against the CPU x64 truth
+computed in-process via the Pallas interpreter + x64 config in a fresh
+subprocess.
+
+Measured tiers (2026-08-17, v5e): max relative state deviation 1.8%,
+realized closed-loop cost deviation 2.7%.  This is COMPOUNDED divergence:
+per-solve f32 KKT noise is ~5e-4 (same order as the XLA
+sequential-vs-parallel spread, RESULTS.md), but a receding-horizon loop
+re-linearizes from the perturbed state every step, so small per-step
+differences accumulate over the 20-step episode — the gate asserts a 5%
+ceiling on both.  (This harness also caught a real bug: x64-trained hypers
+drive sn2 to ~2e-8, an f32 conditioning cliff where the unguarded posterior
+Cholesky NaN'd and the controller silently applied zero input — now guarded
+with dtype-aware escalating jitter in gp_core.posterior.)
+
+Usage: python benchmarks/device_parity.py          (on the TPU host)
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+_CHILD = """
+import sys, json
+sys.path.insert(0, %(root)r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+from gpmpc_tpu import GP, MPC, Model
+from gpmpc_tpu.systems import four_tank_ode
+from benchmarks.bench_spec import (MODEL_R, TRAIN_N, TRAIN_UUB, TRAIN_ULB,
+                                   TRAIN_XUB, TRAIN_XLB, X0, XSP, DT, NT,
+                                   closed_loop_cost)
+import bench as B
+
+dtype = jnp.float64
+model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
+              R=MODEL_R, clip_negative=True, dtype=dtype,
+              integrator_substeps=10)
+X, Y = model.generate_training_data(TRAIN_N, uub=TRAIN_UUB, ulb=TRAIN_ULB,
+                                    xub=TRAIN_XUB, xlb=TRAIN_XLB,
+                                    key=jax.random.PRNGKey(2))
+# min_noise=1e-4: train at an f32-SAFE noise floor so the identical hypers
+# are usable on both sides (an unconstrained x64 fit drives sn2 to ~2e-8,
+# which sits below f32 eps relative to sf2 — a conditioning cliff that
+# would measure hyper fragility, not device parity)
+gp = GP(X, Y, mean_func="zero", gp_method="TA", multistart=1,
+        max_iters=100, seed=1,
+        optimizer_opts=dict(jitter=1e-6, min_noise=1e-4))
+mpc = B.build_mpc(model, gp, dtype,
+                  dict(al_iters=4, max_iters=20, parallel_kkt=False))
+xs, us = mpc.solve(jnp.asarray(X0, dtype), 20 * DT, jnp.asarray(XSP, dtype),
+                   noise=False)
+h = gp.hyper
+json.dump({"xs": np.asarray(xs).tolist(), "us": np.asarray(us).tolist(),
+           "cost": closed_loop_cost(xs, us),
+           "hypers": {"log_ell": np.asarray(h.log_ell).tolist(),
+                      "log_sf2": np.asarray(h.log_sf2).tolist(),
+                      "log_sn2": np.asarray(h.log_sn2).tolist()}},
+          open(%(out)r, "w"))
+"""
+
+
+def main():
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    out = "/tmp/parity_cpu_x64.json"
+
+    # CPU x64 truth in a fresh process (the platform pin must precede
+    # backend init, which this process's TPU run would poison)
+    r = subprocess.run([sys.executable, "-c",
+                        _CHILD % {"root": os.path.abspath(root), "out": out}],
+                       cwd=root)
+    if r.returncode != 0:
+        raise SystemExit("CPU x64 reference run failed")
+    ref = json.load(open(out))
+
+    # TPU f32 production path, same problem, converged budget
+    import jax
+    import jax.numpy as jnp
+    from gpmpc_tpu import GP, Model
+    from gpmpc_tpu.systems import four_tank_ode
+    from benchmarks.bench_spec import (MODEL_R, TRAIN_N, TRAIN_UUB,
+                                       TRAIN_ULB, TRAIN_XUB, TRAIN_XLB,
+                                       X0, XSP, DT, closed_loop_cost)
+    import bench as B
+
+    dtype = jnp.float32
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
+                  R=MODEL_R, clip_negative=True, dtype=dtype,
+                  integrator_substeps=10, fused_integrator=True)
+    X, Y = model.generate_training_data(
+        TRAIN_N, uub=TRAIN_UUB, ulb=TRAIN_ULB, xub=TRAIN_XUB, xlb=TRAIN_XLB,
+        key=jax.random.PRNGKey(2))
+    # reuse the CPU-trained hypers so the comparison isolates device/dtype
+    # effects (independently-trained GPs can land in different optima)
+    from gpmpc_tpu.models.gp_core import GPHypers
+    hr = ref["hypers"]
+    hyper = GPHypers(
+        log_ell=jnp.asarray(hr["log_ell"], dtype),
+        log_sf2=jnp.asarray(hr["log_sf2"], dtype),
+        log_sn2=jnp.asarray(hr["log_sn2"], dtype),
+        mean_w=jnp.zeros((len(hr["log_sf2"]), 0), dtype))
+    gp = GP(X, Y, mean_func="zero", gp_method="TA", hyper=hyper,
+            optimizer_opts=dict(jitter=1e-6, min_noise=1e-4))
+    mpc = B.build_mpc(model, gp, dtype,
+                      dict(al_iters=4, max_iters=20, fused_kkt=True))
+    xs, us = mpc.solve(jnp.asarray(X0, dtype), 20 * DT,
+                       jnp.asarray(XSP, dtype), noise=False)
+
+    xs_ref = np.asarray(ref["xs"])
+    xs_tpu = np.asarray(xs, np.float64)
+    scale = np.abs(xs_ref).max()
+    dev = np.abs(xs_tpu - xs_ref).max() / scale
+    cost_tpu = closed_loop_cost(xs, us)
+    cost_rel = abs(cost_tpu - ref["cost"]) / ref["cost"]
+    result = {
+        "backend": jax.default_backend(),
+        "max_rel_state_dev": round(float(dev), 6),
+        "cpu_x64_cost": round(ref["cost"], 3),
+        "tpu_f32_cost": round(cost_tpu, 3),
+        "cost_rel_dev": round(float(cost_rel), 6),
+        "state_tier_ok": bool(dev < 5e-2),
+        "cost_tier_ok": bool(cost_rel < 5e-2),
+    }
+    print(json.dumps(result))
+    if not (result["state_tier_ok"] and result["cost_tier_ok"]):
+        raise SystemExit("device parity tiers violated")
+
+
+if __name__ == "__main__":
+    main()

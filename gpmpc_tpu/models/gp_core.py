@@ -208,12 +208,29 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
 
 def posterior(x: jnp.ndarray, y: jnp.ndarray, hypers: GPHypers,
               cfg: GPConfig) -> GPPosterior:
-    """Precompute per-dim chol/alpha/invK [SURVEY C5 'per-dim invK']."""
+    """Precompute per-dim chol/alpha/invK [SURVEY C5 'per-dim invK'].
+
+    The factorization is guarded for the f32 production path: the jitter
+    floor is dtype-aware (f32 Gram construction carries ~eps*sf2*N rounding
+    from the norms-minus-cross-products form, which a fixed 1e-8-scale
+    jitter cannot cover), and a failed Cholesky is retried at escalating
+    jitter — hyperparameters trained in x64 can sit exactly on an f32
+    conditioning cliff (measured: benchmarks/device_parity.py's x64 fit
+    drives sn2 to ~2e-8 with sf2 ~ 40; the unguarded factor NaN'd and the
+    controller silently applied zero input)."""
+    eye = jnp.eye(x.shape[0], dtype=x.dtype)
+    # relative floor: ~50 ulps of the signal variance
+    jit_floor = max(cfg.jitter, 50.0 * float(jnp.finfo(x.dtype).eps))
+
     def one(log_ell, log_sf2, log_sn2, mean_w, y_d):
         sn2 = _noise_var(log_sn2, cfg)
-        k = se_ard_gram(x, jnp.exp(log_ell), jnp.exp(log_sf2), sn2,
-                        jitter=cfg.jitter)
+        sf2 = jnp.exp(log_sf2)
+        k = se_ard_gram(x, jnp.exp(log_ell), sf2, sn2, jitter=jit_floor)
         l = cholesky_psd(k)
+        for mult in (1e2, 1e4):          # escalate on a failed factor
+            bad = ~jnp.all(jnp.isfinite(l))
+            l_retry = cholesky_psd(k + (mult * jit_floor) * sf2 * eye)
+            l = jnp.where(bad, l_retry, l)
         r = y_d - mean_value(x, mean_w, cfg.mean_func)
         alpha = chol_solve(l, r)
         inv_l = tri_solve(l, jnp.eye(x.shape[0], dtype=x.dtype))

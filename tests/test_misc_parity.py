@@ -83,6 +83,43 @@ def test_dae_with_adaptive_integrator():
                                atol=1e-8)
 
 
+def test_posterior_survives_f32_conditioning_cliff():
+    """Hypers from an unconstrained x64 fit (large sf2, sn2 ~ 2e-8) sit on
+    an f32 conditioning cliff: the unguarded Cholesky NaN'd and the
+    controller silently applied zero input (found by
+    benchmarks/device_parity.py).  The guarded posterior must stay finite
+    and usable (predict + linearize) in f32."""
+    from gpmpc_tpu import GP
+    from gpmpc_tpu.models.gp_core import GPHypers
+    from gpmpc_tpu.systems import four_tank_ode
+
+    dtype = jnp.float32
+    m = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=3.0,
+              R=np.diag([1e-3] * 4), clip_negative=True, dtype=dtype,
+              integrator_substeps=5)
+    X, Y = m.generate_training_data(
+        100, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(2))
+    ny, d = 4, 6
+    hyper = GPHypers(
+        log_ell=jnp.asarray(np.full((ny, d), 3.0), dtype),
+        log_sf2=jnp.asarray([0.7, 1.3, 4.1, 3.7], dtype),
+        log_sn2=jnp.asarray([-17.6, -17.4, -10.9, -13.0], dtype),
+        mean_w=jnp.zeros((ny, 0), dtype))
+    gp = GP(X, Y, mean_func="zero", gp_method="TA", hyper=hyper,
+            optimizer_opts=dict(jitter=1e-6, min_noise=1e-4))
+    p = gp.post
+    assert bool(jnp.isfinite(p.chol).all())
+    assert bool(jnp.isfinite(p.alpha).all())
+    assert bool(jnp.isfinite(p.inv_k).all())
+    z = jnp.asarray([14.0, 14.0, 1.8, 1.4, 3.0, 3.0], dtype)
+    mu, var = gp.predict(z[:4], z[4:])
+    assert bool(jnp.isfinite(mu).all()) and bool(jnp.isfinite(var).all())
+    jac = gp.linearize(z)
+    assert bool(jnp.isfinite(jac).all())
+
+
 def test_adaptive_integrator_poisons_on_failure():
     """The adaptive integrator must not silently return a truncated or
     uncontrolled-error state: a stiff problem it cannot resolve (error above
