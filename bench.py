@@ -36,9 +36,10 @@ import jax.numpy as jnp
 
 from gpmpc_tpu import GP, MPC, Model
 from gpmpc_tpu.systems import four_tank_ode
-from benchmarks.bench_spec import (Q_W, R_W, ULB, UUB, XLB, XUB, XSP, DT, NT,
-                                   MODEL_R, TRAIN_N, TRAIN_UUB, TRAIN_ULB,
-                                   TRAIN_XUB, TRAIN_XLB, closed_loop_cost)
+from benchmarks.bench_spec import (Q_W, R_W, ULB, UUB, XLB, XUB, X0, XSP,
+                                   DT, NT, MODEL_R, TRAIN_N, TRAIN_UUB,
+                                   TRAIN_ULB, TRAIN_XUB, TRAIN_XLB,
+                                   closed_loop_cost)
 
 TARGET_MS = 1.0  # BASELINE north star: < 1 ms / MPC solve at N=20
 
@@ -83,7 +84,6 @@ def main():
     mpc_full = build_mpc(model, gp, dtype,
                          dict(al_iters=4, max_iters=20, fused_kkt=True))
 
-    from benchmarks.bench_spec import X0
     x0 = jnp.asarray(X0, dtype)
     x_sp = jnp.asarray(XSP, dtype)
 

@@ -99,6 +99,11 @@ class Model:
                     "fused_integrator=True does not support DAE (alg) "
                     "systems: the Newton elimination's fori_loop/jacfwd "
                     "does not lower through Mosaic")
+            if integrator == "adaptive":
+                raise ValueError(
+                    "fused_integrator=True applies to the fixed-step RK4 "
+                    "chain; integrator='adaptive' would silently bypass it "
+                    "— pick one")
         self.rtol = float(rtol)
         self.atol = float(atol)
         self.max_adaptive_steps = int(max_adaptive_steps)

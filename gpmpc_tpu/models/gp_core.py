@@ -226,11 +226,26 @@ def posterior(x: jnp.ndarray, y: jnp.ndarray, hypers: GPHypers,
         sn2 = _noise_var(log_sn2, cfg)
         sf2 = jnp.exp(log_sf2)
         k = se_ard_gram(x, jnp.exp(log_ell), sf2, sn2, jitter=jit_floor)
-        l = cholesky_psd(k)
+
+        def try_factor(kk):
+            # failure = NaN (jnp.linalg.cholesky) OR finite garbage (a
+            # backend that clamps non-PD pivots, e.g. the Pallas blocked
+            # kernel); the reconstruction test catches both.  Threshold is
+            # deliberately loose (0.1): a clamped-pivot garbage factor has
+            # reconstruction error of ~1e10, while a SUCCESSFUL factor on
+            # TPU can show ~1e-3 (XLA's f32 Cholesky runs bf16 passes
+            # internally) — a tight threshold here silently escalated the
+            # jitter on perfectly good factors and changed the posterior
+            l = cholesky_psd(kk)
+            err = jnp.max(jnp.abs(l @ l.T - kk)) / (1.0 + jnp.max(jnp.abs(kk)))
+            return l, (~jnp.all(jnp.isfinite(l))) | (err > 0.1)
+
+        l, bad = try_factor(k)
         for mult in (1e2, 1e4):          # escalate on a failed factor
-            bad = ~jnp.all(jnp.isfinite(l))
-            l_retry = cholesky_psd(k + (mult * jit_floor) * sf2 * eye)
+            l_retry, bad_retry = try_factor(
+                k + (mult * jit_floor) * sf2 * eye)
             l = jnp.where(bad, l_retry, l)
+            bad = bad & bad_retry
         r = y_d - mean_value(x, mean_w, cfg.mean_func)
         alpha = chol_solve(l, r)
         inv_l = tri_solve(l, jnp.eye(x.shape[0], dtype=x.dtype))

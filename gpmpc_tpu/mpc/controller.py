@@ -182,6 +182,12 @@ class MPC:
         self.init_sqp_cfg = (SQPConfig(**init_solver_opts)
                              if init_solver_opts is not None
                              else SQPConfig())
+        if (dtype == jnp.float64
+                and (self.sqp_cfg.fused_kkt or self.init_sqp_cfg.fused_kkt)):
+            raise ValueError(
+                "fused_kkt runs the KKT sweep in f32 (TPU production "
+                "dtype) — it would silently degrade the x64 parity path; "
+                "use parallel_kkt or the default sweep for float64 models")
 
         def mat(m, n, default_diag):
             if m is None:
@@ -696,6 +702,10 @@ class MPC:
             ref_windows = jnp.broadcast_to(
                 x_sp[None, None, :], (n_steps, self.Nt + 1, self.Nx))
         else:
+            if x_sp.ndim != 2 or x_sp.shape[1] != self.Nx:
+                raise ValueError(
+                    f"reference trajectory must be (M, Nx={self.Nx}); "
+                    f"got {x_sp.shape}")
             if x_sp.shape[0] < n_steps:
                 raise ValueError(
                     f"reference trajectory needs >= n_steps={n_steps} rows; "

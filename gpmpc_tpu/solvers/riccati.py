@@ -252,6 +252,13 @@ def solve_fused(qp: StageQP, dx0: jnp.ndarray, reg: jnp.ndarray | float
     """
     from gpmpc_tpu.ops.pallas_kernels import riccati_sweep_pallas
 
+    if qp.b.dtype == jnp.float64:
+        import warnings
+        warnings.warn(
+            "solve_fused runs the KKT sweep in f32 — the x64 problem will "
+            "be solved at f32 accuracy (MPC refuses this combination "
+            "outright; direct solver users get this warning once per trace)",
+            stacklevel=2)
     interpret = jax.default_backend() != "tpu"
     dx, du, gains, ffs, dec = riccati_sweep_pallas(
         qp.a, qp.b, qp.c, qp.q_xx, qp.q_uu, qp.q_xu, qp.q_x, qp.q_u,

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gpmpc_tpu import GP, Model
+from gpmpc_tpu import GP, MPC, Model
 from gpmpc_tpu.models.mean_functions import (mean_features, mean_value,
                                              num_mean_params)
 
@@ -142,7 +142,9 @@ def test_adaptive_integrator_poisons_on_failure():
 
 def test_fused_integrator_guards():
     """fused_integrator rejects configurations that would silently break:
-    x64 (kernel is f32) and DAE systems (Newton elimination cannot lower)."""
+    x64 (kernel is f32), DAE systems (Newton elimination cannot lower),
+    and the adaptive integrator (which would silently bypass the fused
+    chain)."""
     import pytest
     with pytest.raises(ValueError, match="f32"):
         Model(Nx=1, Nu=1, ode=lambda x, u: -x, dt=0.1,
@@ -150,6 +152,38 @@ def test_fused_integrator_guards():
     with pytest.raises(ValueError, match="DAE"):
         Model(Nx=1, Nu=1, ode=lambda x, z, u: -z, alg=lambda x, z, u: z - x,
               Nz=1, dt=0.1, dtype=jnp.float32, fused_integrator=True)
+    with pytest.raises(ValueError, match="adaptive"):
+        Model(Nx=1, Nu=1, ode=lambda x, u: -x, dt=0.1, dtype=jnp.float32,
+              integrator="adaptive", fused_integrator=True)
+
+
+def test_fused_kkt_rejected_on_x64_mpc():
+    """MPC(dtype=float64) with fused_kkt would silently run the KKT sweep
+    at f32 accuracy on the parity path — must refuse at construction."""
+    import pytest
+    from gpmpc_tpu.systems import four_tank_ode
+
+    m = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=3.0,
+              dtype=jnp.float64)
+    with pytest.raises(ValueError, match="fused_kkt"):
+        MPC(horizon=9.0, model=m, gp=None, discrete_method="rk4",
+            Q=np.eye(4), R=np.eye(2), feedback=False, percentile=None,
+            solver_opts=dict(fused_kkt=True), dtype=jnp.float64)
+
+
+def test_trajectory_reference_shape_validation():
+    """A malformed (M, k != Nx) reference must be rejected, not silently
+    broadcast into the stage costs."""
+    import pytest
+    from gpmpc_tpu.systems import four_tank_ode
+
+    m = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=3.0,
+              dtype=jnp.float64)
+    mpc = MPC(horizon=9.0, model=m, gp=None, discrete_method="rk4",
+              Q=np.eye(4), R=np.eye(2), feedback=False, percentile=None)
+    with pytest.raises(ValueError, match="Nx"):
+        mpc.solve(x0=np.ones(4), sim_time=9.0, x_sp=np.ones((10, 1)),
+                  noise=False)
 
 
 def test_dae_plant_in_closed_loop():
