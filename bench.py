@@ -1,29 +1,34 @@
-"""Headline benchmark: MPC solve latency at horizon N=20 on real TPU.
+"""Headline benchmark: every BASELINE config, measured on the real TPU.
 
-BASELINE.json metric: "MPC solve latency at N=20 (ms); GP mean/var predict
-(us); closed-loop cost parity".  The reference publishes no numbers and the
-CasADi/IPOPT baseline cannot run here (casadi not installed, offline —
-SURVEY §6), so ``vs_baseline`` reports speedup against the BASELINE.json
-north-star target of 1 ms/solve on a single chip: vs_baseline > 1 means the
-target is beaten.
+BASELINE.json configs (BASELINE.md "Rebuild targets"):
+  1. GP predictive mean/var latency (~100 pts, SE-ARD)        -> gp_predict_us
+  2/3. Four-tank GP-MPC N=20, TA + chance tightening          -> value (ms)
+  4. Car EM + hybrid + obstacle ellipses N=20                 -> car_em_hybrid_ms
+  5. Batched study: 1024 rollouts, online GP conditioning     -> study_rollout_solves_per_s
 
-Methodology: the whole receding-horizon loop is ONE device-resident
-``lax.scan`` (that is the framework's deployment shape — zero host round
-trips).  Per-solve latency is the K-slope of total wall time between two
-loop lengths, which cancels the axon tunnel's fixed per-call dispatch cost
-(~25 ms, measured) that has nothing to do with on-device execution.
+The reference publishes no numbers and the CasADi/IPOPT baseline cannot run
+here (casadi not installed, offline — SURVEY §6), so ``vs_baseline`` reports
+speedup against the BASELINE.json north-star target of 1 ms/solve on a
+single chip: vs_baseline > 1 means the target is beaten.  The measured
+same-host CPU stand-in (reference architecture: Python receding loop +
+native SLSQP; benchmarks/cpu_baseline.py) rides along as
+``cpu_slsqp_ms_per_solve`` / ``vs_cpu_slsqp``.
 
-Solution-quality tie-in (VERDICT round-1 item 3): the RTI-budget loop
-(single-Newton real-time iteration, the headline latency) is only a
-legitimate controller if its closed-loop cost matches a converged-budget
-run.  Both loops are run and their realized closed-loop costs
-sum_t [(x_t - x_sp)' Q (x_t - x_sp) + (u_t - u_sp)' R (u_t - u_sp)] are
-reported; ``cost_ratio_rti_vs_converged`` must stay within 1% of 1.0.
+Methodology: every latency is the K-slope of total wall time between two
+device-resident loop lengths, which cancels the axon tunnel's fixed
+per-call dispatch cost (~25 ms, measured, drifting); completion is forced
+by a D2H fetch (``block_until_ready`` can return early on this tunnel —
+benchmarks/_timing.py).
 
-Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N,
-   "converged_latency_ms": N, "rti_cost": N, "converged_cost": N,
-   "cost_ratio_rti_vs_converged": N, "cost_parity_ok": bool}
+Solution-quality tie-ins:
+  * the RTI-budget four-tank loop must match a converged-budget run's
+    realized closed-loop cost within 0.5% (``cost_ratio_rti_vs_converged``;
+    the budget — 2 Newton steps/period — is chosen so the gate holds with
+    >=2x cushion, VERDICT r2 weak #1);
+  * the car run must keep every state outside both obstacle ellipses
+    (``car_min_clearance`` >= 1.0 -> ``car_feasible``).
+
+Prints exactly ONE JSON line with all fields above.
 """
 
 import json
@@ -40,6 +45,7 @@ from benchmarks.bench_spec import (Q_W, R_W, ULB, UUB, XLB, XUB, X0, XSP,
                                    DT, NT, MODEL_R, TRAIN_N, TRAIN_UUB,
                                    TRAIN_ULB, TRAIN_XUB, TRAIN_XLB,
                                    closed_loop_cost)
+from benchmarks._timing import sync
 
 TARGET_MS = 1.0  # BASELINE north star: < 1 ms / MPC solve at N=20
 
@@ -57,10 +63,226 @@ def build_mpc(model, gp, dtype, solver_opts):
                solver_opts=solver_opts, dtype=dtype)
 
 
+def bench_four_tank(model, gp, dtype, out):
+    """Configs 2/3: four-tank TA + tightening, RTI vs converged budgets."""
+    # Warm-started receding horizon runs RTI-grade iteration budgets for
+    # the headline latency; the converged-budget controller is the quality
+    # yardstick.  The RTI operating point is TWO Newton steps per control
+    # period (budget sweep: benchmarks/RESULTS.md): one step passed the 1%
+    # cost gate by only 0.03% (BENCH_r02), two steps buy >=2x cushion at a
+    # 0.5% gate while staying ~5x under the 1 ms target.  The hot AL
+    # penalty (1e4) makes the linearized solves respect the tightened
+    # constraints immediately; multipliers warm-carry across steps.
+    mpc_rti = build_mpc(model, gp, dtype,
+                        dict(al_iters=1, max_iters=2, ls_steps=8,
+                             penalty_init=1e4, fused_kkt=True))
+    mpc_full = build_mpc(model, gp, dtype,
+                         dict(al_iters=4, max_iters=20, fused_kkt=True))
+
+    x0 = jnp.asarray(X0, dtype)
+    x_sp = jnp.asarray(XSP, dtype)
+    dt = model.dt
+
+    def timed_loop(mpc, n_steps, reps):
+        mpc.solve(x0, n_steps * dt, x_sp, noise=False)  # compile
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            xs, us = mpc.solve(x0, n_steps * dt, x_sp, noise=False)
+            sync(xs)
+            best = min(best, time.perf_counter() - t0)
+        return best, xs, us
+
+    def k_slope(mpc, k_small, k_large, reps, estimates):
+        # median of repeated slope estimates: the tunnel's per-call
+        # dispatch jitter (tens of ms, drifting) dominates at sub-ms
+        # per-step scales; the long loop carries >=60 ms of real work
+        slopes = []
+        for _ in range(estimates):
+            t_small, xs, us = timed_loop(mpc, k_small, reps)
+            t_large, _, _ = timed_loop(mpc, k_large, reps)
+            slopes.append((t_large - t_small) / (k_large - k_small) * 1e3)
+        return max(float(np.median(slopes)), 1e-6), xs, us
+
+    # RTI: per-step cost is tens of us -> use a long pair (140 -> 1140,
+    # ~60+ ms of real work in the long loop).  k=140 is shared with the
+    # cost-parity run (each distinct loop length is a separate XLA
+    # compile; keep the set small).
+    rti_ms, xs_rti, us_rti = k_slope(mpc_rti, 140, 1140, reps=5,
+                                     estimates=3)
+    # converged loop: same 140-step length so closed-loop costs are
+    # comparable; same statistical treatment as the RTI number
+    # (VERDICT r2 weak #7)
+    full_ms, xs_full, us_full = k_slope(mpc_full, 20, 140, reps=5,
+                                        estimates=3)
+
+    cost_rti = closed_loop_cost(xs_rti, us_rti, x_sp)
+    cost_full = closed_loop_cost(xs_full, us_full, x_sp)
+    ratio = cost_rti / cost_full
+    out.update({
+        "metric": "mpc_solve_latency_N20_four_tank_TA",
+        "value": round(rti_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / rti_ms, 4),
+        "converged_latency_ms": round(full_ms, 4),
+        "rti_cost": round(cost_rti, 3),
+        "converged_cost": round(cost_full, 3),
+        "cost_ratio_rti_vs_converged": round(ratio, 5),
+        "cost_parity_ok": bool(abs(ratio - 1.0) <= 0.005),
+    })
+
+
+def bench_gp_predict(gp, dtype, out):
+    """Config 1: deterministic-input GP mean/var predict latency (us) at
+    N~100 training points, all Ny output dims — carry-coupled scan slope
+    (XLA cannot hoist or batch the repeated call)."""
+    from gpmpc_tpu.models import gp_core
+
+    post, norm, cfg = gp.post, gp.norm, gp.cfg
+    z0 = jnp.asarray(np.concatenate([X0, [3.0, 3.0]]), dtype)
+
+    cache = {}
+
+    def run(k):
+        if k not in cache:
+            def body(c, _):
+                zn = (z0 + c * 1e-20 - norm.z_mean) / norm.z_std
+                mu, var = gp_core.predict(post, zn, cfg)
+                return c * 0.5 + (mu.sum() + var.sum()) * 1e-30, None
+            cache[k] = jax.jit(lambda: jax.lax.scan(
+                body, jnp.asarray(1.0, dtype), None, length=k)[0])
+        return cache[k]()
+
+    def t(k, reps=5):
+        sync(run(k))
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(run(k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    slopes = []
+    for _ in range(3):
+        slopes.append((t(4096) - t(512)) / (4096 - 512) * 1e6)
+    out["gp_predict_us"] = round(float(np.median(slopes)), 3)
+
+
+def bench_car(dtype, out):
+    """Config 4: car EM + hybrid + obstacle ellipses, N=20 — per-solve
+    latency via closed-loop K-slope + feasibility (clearance) flag."""
+    from gpmpc_tpu.systems import car_ode, ellipse_obstacle_constraints
+
+    dt = 0.1
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: car_ode(x, u), dt=dt,
+                  R=np.diag([1e-5, 1e-5, 1e-6, 1e-5]),
+                  dtype=dtype, integrator_substeps=10)
+    key = jax.random.PRNGKey(4)
+    kx, ku = jax.random.split(key)
+    x_lb = np.array([-1.0, -1.0, -0.6, 0.0])
+    x_ub = np.array([1.0, 1.0, 0.6, 8.0])
+    u_lb, u_ub = np.array([-3.0, -0.5]), np.array([3.0, 0.5])
+    x_s = jax.random.uniform(kx, (60, 4), minval=x_lb, maxval=x_ub,
+                             dtype=dtype)
+    u_s = jax.random.uniform(ku, (60, 2), minval=u_lb, maxval=u_ub,
+                             dtype=dtype)
+    resid = (jax.vmap(model.integrate)(x_s, u_s)
+             - jax.vmap(model.rk4)(x_s, u_s))
+    gp = GP(jnp.concatenate([x_s, u_s], axis=1), resid, mean_func="zero",
+            gp_method="EM", multistart=1, max_iters=80, seed=3,
+            optimizer_opts=dict(jitter=1e-5, min_noise=1e-6))
+
+    obstacles = np.array([[6.0, 0.3, 1.5, 1.0],
+                          [12.0, -0.6, 1.5, 1.2]])
+    ineq_cb, n_par = ellipse_obstacle_constraints(obstacles.shape[0],
+                                                  scale=2.0)
+    x0 = np.array([0.0, 0.0, 0.0, 2.0])
+    x_sp = np.array([18.0, 0.0, 0.0, 2.0])
+    mpc = MPC(horizon=20 * dt, model=model, gp=gp,
+              gp_method="EM", discrete_method="hybrid",
+              Q=np.diag([5.0, 20.0, 0.5, 1.0]), R=np.diag([0.1, 1.0]),
+              S=np.diag([0.05, 0.5]),
+              ulb=u_lb, uub=u_ub,
+              xlb=[-5.0, -4.0, -2.0, 0.0], xub=[25.0, 4.0, 2.0, 10.0],
+              percentile=0.95, feedback=True, op_x=x0,
+              inequality_constraints=ineq_cb, num_con_par=n_par,
+              cov_updates=2,
+              solver_opts=dict(al_iters=2, max_iters=3, ls_steps=6,
+                               parallel_kkt=True),
+              dtype=dtype)
+    con_par = obstacles.reshape(-1)
+
+    def run(n_steps):
+        return mpc.solve(x0, n_steps * dt, x_sp, noise=False,
+                         con_par_func=lambda k: con_par)
+
+    def t(k, reps=4):
+        sync(run(k)[0])
+        best, xs = np.inf, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            xs, _ = run(k)
+            sync(xs)
+            best = min(best, time.perf_counter() - t0)
+        return best, xs
+
+    slopes = []
+    xs_long = None
+    for _ in range(2):
+        t_small, _ = t(30)
+        t_large, xs_long = t(130)
+        slopes.append((t_large - t_small) / 100.0 * 1e3)
+    xs_long = np.asarray(xs_long)
+    min_clear = np.inf
+    for cx, cy, rx, ry in obstacles:
+        d = ((xs_long[:, 0] - cx) / rx) ** 2 + ((xs_long[:, 1] - cy) / ry) ** 2
+        min_clear = min(min_clear, float(d.min()))
+    out["car_em_hybrid_ms"] = round(float(np.median(slopes)), 4)
+    out["car_min_clearance"] = round(min_clear, 3)
+    out["car_feasible"] = bool(min_clear >= 1.0)
+
+
+def bench_study(model, gp, dtype, out):
+    """Config 5: 1024 parallel receding-horizon rollouts with per-rollout
+    online GP conditioning — rollout-solves/second."""
+    from gpmpc_tpu.parallel.batched import BatchedStudy
+
+    study = BatchedStudy(
+        model, gp, horizon=8 * model.dt,
+        Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+        ulb=[0.0, 0.0], uub=[8.0, 8.0], capacity=128,
+        solver_opts=dict(al_iters=1, max_iters=3, ls_steps=4))
+    b = 1024
+    x0s = (jnp.asarray([8.0, 9.0, 1.0, 1.0], dtype)[None]
+           + 0.5 * jax.random.uniform(jax.random.PRNGKey(0), (b, 4),
+                                      dtype=dtype))
+    x_sp = jnp.asarray([12.4, 12.7, 1.8, 1.4], dtype)
+
+    def run(n):
+        return study.run(x0s, x_sp, n_steps=n, noise=True,
+                         key=jax.random.PRNGKey(1)).cost
+
+    def t(k, reps=3):
+        sync(run(k))
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(run(k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    slopes = []
+    for _ in range(2):
+        slopes.append((t(12) - t(4)) / 8.0)
+    per_step = max(float(np.median(slopes)), 1e-9)
+    out["study_batch"] = b
+    out["study_rollout_solves_per_s"] = round(b / per_step, 0)
+
+
 def main():
     dtype = jnp.float32  # TPU-native precision path
-    dt = DT
-    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=dt,
+    out = {}
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
                   R=MODEL_R, clip_negative=True, dtype=dtype,
                   integrator_substeps=10, fused_integrator=True)
     X, Y = model.generate_training_data(
@@ -71,79 +293,20 @@ def main():
             max_iters=100, seed=1,
             optimizer_opts=dict(jitter=1e-5, min_noise=1e-5))
 
-    # warm-started receding horizon runs RTI-grade iteration budgets
-    # (single-Newton real-time iteration) for the headline latency; the
-    # converged-budget controller is the quality yardstick.  The hot AL
-    # penalty (1e4) is what buys cost parity at a single Newton step per
-    # period: multipliers warm-carry across steps, and a strong penalty
-    # makes the one linearized solve respect the tightened constraints
-    # immediately (budget sweep: benchmarks/RESULTS.md).
-    mpc_rti = build_mpc(model, gp, dtype,
-                        dict(al_iters=1, max_iters=1, ls_steps=8,
-                             penalty_init=1e4, fused_kkt=True))
-    mpc_full = build_mpc(model, gp, dtype,
-                         dict(al_iters=4, max_iters=20, fused_kkt=True))
+    bench_four_tank(model, gp, dtype, out)          # configs 2/3 (headline)
+    errors = {}
+    for name, fn in (("gp_predict", lambda: bench_gp_predict(gp, dtype, out)),
+                     ("car", lambda: bench_car(dtype, out)),
+                     ("study", lambda: bench_study(model, gp, dtype, out))):
+        # the headline block above fails loudly; the secondary configs
+        # record their error instead of suppressing the whole artifact
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    if errors:
+        out["errors"] = errors
 
-    x0 = jnp.asarray(X0, dtype)
-    x_sp = jnp.asarray(XSP, dtype)
-
-    def timed_loop(mpc, n_steps, reps=7):
-        # compile once for this length
-        mpc.solve(x0, n_steps * dt, x_sp, noise=False)
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            xs, us = mpc.solve(x0, n_steps * dt, x_sp, noise=False)
-            jax.block_until_ready(xs)
-            best = min(best, time.perf_counter() - t0)
-        return best, xs, us
-
-    def k_slope_ms(mpc, reps=7, estimates=3, k_small=20, k_large=140):
-        # longer loops + median of repeated slope estimates: the axon
-        # tunnel's per-call dispatch jitter (tens of ms, drifting) is the
-        # dominant error source at these sub-ms per-step scales
-        slopes = []
-        for _ in range(estimates):
-            t_small, _, _ = timed_loop(mpc, k_small, reps)
-            t_large, xs, us = timed_loop(mpc, k_large, reps)
-            slopes.append((t_large - t_small) / (k_large - k_small) * 1e3)
-        return max(float(np.median(slopes)), 1e-6), xs, us
-
-    # RTI loop: after the round-2 fused kernels the per-step cost is tens of
-    # us, so the 20->140 length pair sits inside the tunnel's multi-ms
-    # dispatch jitter (a measured slope of ~0).  Use a ~8x longer pair —
-    # ~60 ms of real work in the long loop, well above the jitter floor.
-    # k_small=140 is shared with the cost-parity run (each distinct loop
-    # length is a separate XLA compile; keep the set small).
-    def k_slope_rti(reps=5, estimates=3):
-        slopes = []
-        for _ in range(estimates):
-            t_small, xs, us = timed_loop(mpc_rti, 140, reps)
-            t_large, _, _ = timed_loop(mpc_rti, 1140, reps)
-            slopes.append((t_large - t_small) / 1000.0 * 1e3)
-        return max(float(np.median(slopes)), 1e-6), xs, us
-
-    rti_ms, xs_rti, us_rti = k_slope_rti()
-    # converged loop: same lengths so closed-loop costs are comparable
-    # (both cost evaluations below use the k_large=140-step run); one
-    # estimate with fewer reps — at ~10 ms/step the relative tunnel jitter
-    # is small and this keeps total bench wall time bounded
-    full_ms, xs_full, us_full = k_slope_ms(mpc_full, reps=2, estimates=1)
-
-    cost_rti = closed_loop_cost(xs_rti, us_rti, x_sp)
-    cost_full = closed_loop_cost(xs_full, us_full, x_sp)
-    ratio = cost_rti / cost_full
-    out = {
-        "metric": "mpc_solve_latency_N20_four_tank_TA",
-        "value": round(rti_ms, 4),
-        "unit": "ms",
-        "vs_baseline": round(TARGET_MS / rti_ms, 4),
-        "converged_latency_ms": round(full_ms, 4),
-        "rti_cost": round(cost_rti, 3),
-        "converged_cost": round(cost_full, 3),
-        "cost_ratio_rti_vs_converged": round(ratio, 5),
-        "cost_parity_ok": bool(abs(ratio - 1.0) <= 0.01),
-    }
     # measured same-host CPU baseline in the reference's architecture
     # (Python receding loop + native SQP solver; benchmarks/cpu_baseline.py)
     # — the ">= 50x at matched closed-loop cost" yardstick
@@ -155,7 +318,7 @@ def main():
         cpu_ms = base.get("cpu_slsqp_ms_per_solve_median")
         if cpu_ms:
             out["cpu_slsqp_ms_per_solve"] = cpu_ms
-            out["vs_cpu_slsqp"] = round(cpu_ms / rti_ms, 1)
+            out["vs_cpu_slsqp"] = round(cpu_ms / out["value"], 1)
             out["cpu_cost_parity_ratio"] = base.get(
                 "cost_ratio_ours_vs_slsqp")
     print(json.dumps(out))

@@ -113,15 +113,64 @@ def make_nlp(gp, nt, nx=4, nu=2):
     return f, g, gj, lb, ub, split, n_w
 
 
-def run_slsqp_loop(model, gp, nt, n_steps):
+def make_ta_margins(gp, quantile):
+    """Zero-order TA chance-tightening margins, mirroring the controller's
+    scheme exactly (``MPC._cov_step``/``_margins`` with feedback=False):
+    Sigma_{t+1} = TA(sig_y at (x_t, u_t, Sigma_t)) + noise_cov, margins
+    Phi^{-1}(p)*sqrt(diag Sigma_t) clamped to 0.49*box.  Gives the SLSQP
+    loop the same tightened NLP the AL-SQP controller solves."""
+    from gpmpc_tpu.models.propagate import propagate_ta
+
+    post, norm, cfg = gp.post, gp.norm, gp.cfg
+    noise_cov = gp.noise_cov()
+    box = jnp.asarray(np.asarray(XUB) - np.asarray(XLB))
+
+    @jax.jit
+    def margins(xs, us):
+        nx = xs.shape[1]
+
+        def step(sig, xu):
+            x, u = xu
+            z = jnp.concatenate([x, u])
+            sig_z = jnp.zeros((z.shape[0], z.shape[0]),
+                              xs.dtype).at[:nx, :nx].set(sig)
+            _, sig_y, _ = propagate_ta(post, norm, cfg, z, sig_z)
+            sig_n = sig_y + noise_cov
+            return 0.5 * (sig_n + sig_n.T), sig
+
+        sig_last, sigs = jax.lax.scan(
+            step, jnp.zeros((nx, nx), xs.dtype), (xs[:-1], us))
+        sigs = jnp.concatenate([sigs, sig_last[None]], axis=0)
+        dx = jnp.sqrt(jnp.clip(jax.vmap(jnp.diagonal)(sigs), 0.0, None))
+        return jnp.minimum(quantile * dx, 0.49 * box)
+
+    return margins
+
+
+def run_slsqp_loop(model, gp, nt, n_steps, percentile=None):
     """The reference's MPC.solve shape: per step pack params, warm start
     from the shifted previous solution, call the native NLP solver, apply
-    u0* to the plant [SURVEY §3.4]."""
+    u0* to the plant [SURVEY §3.4].  With ``percentile`` set, the state
+    boxes are chance-tightened per stage by the zero-order TA margins
+    (BASELINE config 3), computed along the shifted warm trajectory just
+    like the controller's covariance pass."""
     f, g, gj, lb, ub, split, n_w = make_nlp(gp, nt)
     x_sp = jnp.asarray(XSP)
+    margins = None
+    if percentile is not None:
+        from scipy.stats import norm as _norm
+        margins = make_ta_margins(gp, float(_norm.ppf(percentile)))
 
-    # initial guess: hold the state, mid-range input
-    w = np.concatenate([np.tile(X0, nt + 1), np.tile([3.0, 3.0], nt)])
+    # initial guess mirrors al_sqp.init_state exactly: roll the GP-mean
+    # dynamics from X0 under zero input (trajectory-parity tests compare
+    # the two loops step by step, so the warm-start logic must match)
+    post, norm, cfg = gp.post, gp.norm, gp.cfg
+    x_c, xs0 = jnp.asarray(X0), [np.asarray(X0)]
+    for _ in range(nt):
+        x_c = mean_fn_functional(post, norm, cfg,
+                                 jnp.concatenate([x_c, jnp.zeros(2)]))
+        xs0.append(np.asarray(x_c))
+    w = np.concatenate([np.array(xs0).ravel(), np.zeros(nt * 2)])
     x = jnp.asarray(X0)
     xs_sim, us_sim, solve_times, nit = [np.asarray(x)], [], [], []
     for _ in range(n_steps):
@@ -129,10 +178,20 @@ def run_slsqp_loop(model, gp, nt, n_steps):
         cons = [{"type": "eq",
                  "fun": lambda w_, x0_=x0_h: np.asarray(g(jnp.asarray(w_), x0_)),
                  "jac": lambda w_, x0_=x0_h: np.asarray(gj(jnp.asarray(w_), x0_))}]
+        lb_k, ub_k = lb, ub
+        if margins is not None:
+            xs_w, us_w = split(w)
+            mx = np.asarray(margins(jnp.asarray(np.vstack([np.asarray(x)[None],
+                                                           xs_w[1:]])),
+                                    jnp.asarray(us_w)))
+            lb_k = np.concatenate([(np.tile(XLB, (nt + 1, 1)) + mx).ravel(),
+                                   np.tile(ULB, nt)])
+            ub_k = np.concatenate([(np.tile(XUB, (nt + 1, 1)) - mx).ravel(),
+                                   np.tile(UUB, nt)])
         t0 = time.perf_counter()
         res = minimize(
             lambda w_: tuple(np.asarray(v) for v in f(jnp.asarray(w_), x_sp)),
-            w, jac=True, bounds=list(zip(lb, ub)), constraints=cons,
+            w, jac=True, bounds=list(zip(lb_k, ub_k)), constraints=cons,
             method="SLSQP", options={"maxiter": 200, "ftol": 1e-9})
         solve_times.append(time.perf_counter() - t0)
         nit.append(res.nit)
@@ -141,8 +200,10 @@ def run_slsqp_loop(model, gp, nt, n_steps):
         x = model.integrate(x, jnp.asarray(u0))
         xs_sim.append(np.asarray(x))
         us_sim.append(u0)
-        # warm start: shift
-        xs_w = np.vstack([xs_o[1:], xs_o[-1:]])
+        # warm start: shift EXACTLY like al_sqp.shift_state ([x0, x2.., xNt,
+        # xNt]) so the tightened NLPs both sides solve are built from the
+        # same trajectory
+        xs_w = np.vstack([np.asarray(x)[None], xs_o[2:], xs_o[-1:]])
         us_w = np.vstack([us_o[1:], us_o[-1:]])
         w = np.concatenate([xs_w.ravel(), us_w.ravel()])
     return (np.array(xs_sim), np.array(us_sim), np.array(solve_times),

@@ -204,18 +204,21 @@ class Model:
     _DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
               -92097 / 339200, 187 / 2100, 1 / 40)
 
-    def _dopri5_step(self, x, u, h):
-        """One DOPRI5 trial step: returns (x5, err) where err is the
-        difference between the 5th- and embedded 4th-order solutions."""
+    def _dopri5_step(self, x, u, h, k1):
+        """One DOPRI5 trial step from a supplied first stage ``k1 = f(x)``
+        (FSAL: on an accepted step the returned last stage ``k7 = f(x5)``
+        IS the next step's k1, so the pair costs 6 fresh ODE evals, not 7).
+        Returns (x5, err, k7) with err the 5th-minus-embedded-4th-order
+        difference."""
         f = lambda xx: self.ode(xx, u)
-        k = [f(x)]
+        k = [k1]
         for row in self._DP_A:
             xs = x + h * sum(a * ki for a, ki in zip(row, k) if a != 0.0)
             k.append(f(xs))
         x5 = xs                       # last stage uses the b-row (FSAL form)
         x4 = x + h * sum(b * ki for b, ki in zip(self._DP_B4, k)
                          if b != 0.0)
-        return x5, x5 - x4
+        return x5, x5 - x4, k[-1]
 
     def integrate_adaptive(self, x: jnp.ndarray, u: jnp.ndarray,
                            rtol: Optional[float] = None,
@@ -242,16 +245,21 @@ class Model:
         # initial step: a conservative fraction of the interval
         h0 = t_end / jnp.asarray(10.0, dtype)
         h_min = t_end * jnp.asarray(1e-6, dtype)
-        safety, p_order = 0.9, 5.0
+        # Gustafsson PI controller exponents for an order-5 pair:
+        # h *= safety * err^(-0.7/5) * err_prev^(0.4/5) — the proportional
+        # term damps the accept/reject oscillation an I-only controller
+        # shows on mildly stiff problems (Hairer & Wanner II.4)
+        safety = 0.9
+        pi_alpha, pi_beta = 0.7 / 5.0, 0.4 / 5.0
 
         def cond(carry):
-            t, _x, _h, n, _bad = carry
+            t, _x, _h, _k1, _ep, n, _bad = carry
             return (t < t_end) & (n < self.max_adaptive_steps)
 
         def body(carry):
-            t, xc, h, n, bad = carry
+            t, xc, h, k1, en_prev, n, bad = carry
             h = jnp.minimum(h, t_end - t)
-            x5, err = self._dopri5_step(xc, u, h)
+            x5, err, k7 = self._dopri5_step(xc, u, h, k1)
             scale = atol + rtol * jnp.maximum(jnp.abs(xc), jnp.abs(x5))
             enorm = jnp.sqrt(jnp.mean((err / scale) ** 2))
             accept = (enorm <= 1.0) | (h <= h_min)
@@ -260,15 +268,21 @@ class Model:
             bad = bad | ((enorm > 1.0) & (h <= h_min))
             t_n = jnp.where(accept, t + h, t)
             x_n = jnp.where(accept, x5, xc)
-            # standard controller: h *= clip(0.9 * enorm^(-1/5), 0.2, 5)
-            fac = safety * jnp.power(jnp.maximum(enorm, 1e-10),
-                                     -1.0 / p_order)
+            # FSAL: the accepted step's k7 = f(x5) is the next step's k1;
+            # a rejected step retries from the same xc, so k1 is reusable
+            # either way
+            k1_n = jnp.where(accept, k7, k1)
+            en = jnp.maximum(enorm, 1e-10)
+            fac = (safety * jnp.power(en, -pi_alpha)
+                   * jnp.power(jnp.maximum(en_prev, 1e-10), pi_beta))
             h_n = jnp.maximum(h * jnp.clip(fac, 0.2, 5.0), h_min)
-            return t_n, x_n, h_n, n + 1, bad
+            en_n = jnp.where(accept, en, en_prev)
+            return t_n, x_n, h_n, k1_n, en_n, n + 1, bad
 
-        t_f, xf, _, _, bad = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), dtype), x, h0,
-                         jnp.zeros((), jnp.int32), jnp.asarray(False)))
+        t_f, xf, _, _, _, _, bad = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), dtype), x, h0, self.ode(x, u),
+                         jnp.ones((), dtype), jnp.zeros((), jnp.int32),
+                         jnp.asarray(False)))
         failed = bad | (t_f < t_end)      # budget exhausted mid-interval
         return jnp.where(failed, jnp.full_like(xf, jnp.nan), xf)
 

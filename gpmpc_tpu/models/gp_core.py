@@ -73,6 +73,16 @@ def _noise_var(log_sn2: jnp.ndarray, cfg: GPConfig) -> jnp.ndarray:
     return jnp.exp(log_sn2) + cfg.min_noise
 
 
+def _jitter_floor(cfg: GPConfig, dtype) -> float:
+    """Dtype-aware jitter floor (~50 ulps of the signal variance): the f32
+    Gram carries ~eps*sf2*N rounding from the norms-minus-cross-products
+    form, which a fixed 1e-8-scale jitter cannot cover.  Used by BOTH the
+    training NLL and the served posterior so they factor the same Gram
+    matrix (ADVICE r2: a floor applied only at serve time meant the trained
+    NLL and the posterior saw slightly different K in f32)."""
+    return max(cfg.jitter, 50.0 * float(jnp.finfo(dtype).eps))
+
+
 def nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
                log_sn2: jnp.ndarray, mean_w: jnp.ndarray,
                x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
@@ -84,7 +94,8 @@ def nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
     n = x.shape[0]
     sf2 = jnp.exp(log_sf2)
     sn2 = _noise_var(log_sn2, cfg)
-    k = se_ard_gram(x, jnp.exp(log_ell), sf2, sn2, jitter=cfg.jitter)
+    k = se_ard_gram(x, jnp.exp(log_ell), sf2, sn2,
+                    jitter=_jitter_floor(cfg, x.dtype))
     l = cholesky_psd(k)
     r = y - mean_value(x, mean_w, mean_func)
     a = chol_solve(l, r)
@@ -219,8 +230,7 @@ def posterior(x: jnp.ndarray, y: jnp.ndarray, hypers: GPHypers,
     drives sn2 to ~2e-8 with sf2 ~ 40; the unguarded factor NaN'd and the
     controller silently applied zero input)."""
     eye = jnp.eye(x.shape[0], dtype=x.dtype)
-    # relative floor: ~50 ulps of the signal variance
-    jit_floor = max(cfg.jitter, 50.0 * float(jnp.finfo(x.dtype).eps))
+    jit_floor = _jitter_floor(cfg, x.dtype)
 
     def one(log_ell, log_sf2, log_sn2, mean_w, y_d):
         sn2 = _noise_var(log_sn2, cfg)
@@ -241,6 +251,10 @@ def posterior(x: jnp.ndarray, y: jnp.ndarray, hypers: GPHypers,
             return l, (~jnp.all(jnp.isfinite(l))) | (err > 0.1)
 
         l, bad = try_factor(k)
+        # the retries run unconditionally: ``one`` executes under vmap,
+        # where lax.cond lowers to select (both branches evaluated anyway),
+        # so gating buys nothing — and posterior() is a once-per-training
+        # cost, not a hot-path one (ADVICE r2 considered and documented)
         for mult in (1e2, 1e4):          # escalate on a failed factor
             l_retry, bad_retry = try_factor(
                 k + (mult * jit_floor) * sf2 * eye)

@@ -128,7 +128,7 @@ class MPC:
                  model: Model,
                  gp: Optional[GP] = None,
                  Q=None, P=None, R=None, S=None,
-                 lam: float = 1e3,
+                 lam: Optional[float] = None,
                  lam_state: Optional[float] = None,
                  ulb=None, uub=None, xlb=None, xub=None,
                  terminal_constraint: Optional[float] = None,
@@ -161,6 +161,17 @@ class MPC:
             raise ValueError(f"unknown discrete_method {discrete_method!r}")
         if dm in ("gp", "hybrid") and gp is None:
             raise ValueError(f"discrete_method={dm!r} requires a GP")
+        if dm == "exact" and getattr(model, "fused_integrator", False):
+            # discrete_method='exact' embeds model.integrate in the NLP and
+            # linearizes it (jacfwd); the fused Pallas RK4 kernel is plant-
+            # truth-only (f32, not reverse-differentiable) and fails at
+            # trace time with an opaque Mosaic/AD error.  Fail clearly here
+            # instead (ADVICE r2).
+            raise ValueError(
+                "discrete_method='exact' traces model.integrate into the "
+                "NLP and differentiates it, which the fused Pallas "
+                "integrator does not support; build the Model with "
+                "fused_integrator=False for exact-mode MPC")
         self.discrete_method = dm
         self.gp_method = gp_method.upper()
         if gp is not None and gp.gp_method != self.gp_method:
@@ -199,13 +210,22 @@ class MPC:
         self.P = mat(P, self.Nx, 0.0) if P is not None else self.Q * 10.0
         self.R = mat(R, self.Nu, 0.01)
         self.S = mat(S, self.Nu, 0.0) if S is not None else None
-        # soft state constraints [SURVEY C6 'slack variables for soft state
-        # constraints', penalties lam/lam_state]: with lam_state set, the
-        # (tightened) state box enters the cost as a quadratic violation
-        # penalty instead of the hard AL constraint set — the stage-separable
-        # analog of the reference's slack formulation (a quadratic slack
-        # penalty eliminated analytically).
-        self.lam = float(lam)
+        # soft constraints [SURVEY C6 'slack variables for soft constraints',
+        # penalties lam/lam_state]: each penalty is the stage-separable
+        # analog of the reference's slack formulation — a quadratic slack
+        # penalty eliminated analytically into the cost, replacing the hard
+        # AL constraint set for that constraint group.
+        #   lam_state: (tightened) state boxes become soft.
+        #   lam:       GENERAL constraints become soft — the user
+        #              inequality callback (obstacles etc.) and the terminal
+        #              constraint; the reference's `eps` slack on
+        #              inequality_constraints with penalty weight lam
+        #              [SURVEY C6 callback signature].
+        # Default deviates from the reference (which always softens general
+        # constraints, lam=1e3): hard-AL handling is the default here (the
+        # stronger guarantee); pass lam= to opt into soft behavior — see
+        # docs/MIGRATION.md.
+        self.lam = None if lam is None else float(lam)
         self.lam_state = None if lam_state is None else float(lam_state)
         # delta-u penalty -> augment the state with the previous input so the
         # NLP stays stage-separable (Riccati-factorable)
@@ -418,6 +438,8 @@ class MPC:
 
     def _build_problem(self):
         nx, nu, nt = self.Nx, self.Nu, self.Nt
+        hard_state = self.lam_state is None  # soft -> penalty in the cost
+        hard_user = self.lam is None         # lam softens general constraints
 
         def dynamics(xa, u, t, params: MPCParams):
             x, _ = self._split(xa)
@@ -443,6 +465,10 @@ class MPC:
                 viol = (jnp.maximum(x - (c0.xub - mx), 0.0)
                         + jnp.maximum((c0.xlb + mx) - x, 0.0)) / c0.x_scale
                 c = c + self.lam_state * jnp.sum(viol * viol)
+            if not hard_user and self.user_ineq is not None:
+                g = self.user_ineq(x, params.sigmas[t], u, params.con_par)
+                viol = jnp.maximum(g, 0.0)
+                c = c + self.lam * jnp.sum(viol * viol)
             return c
 
         def terminal_cost(xa, params: MPCParams):
@@ -459,9 +485,11 @@ class MPC:
                 viol = (jnp.maximum(x - (c0.xub - mx), 0.0)
                         + jnp.maximum((c0.xlb + mx) - x, 0.0)) / c0.x_scale
                 c = c + self.lam_state * jnp.sum(viol * viol)
+            if not hard_user and self.terminal_constraint is not None:
+                e = x - params.x_sp[nt]
+                viol = jnp.maximum(e @ e - self.terminal_constraint, 0.0)
+                c = c + self.lam * viol * viol
             return c
-
-        hard_state = self.lam_state is None  # soft -> penalty in the cost
 
         def stage_ineq(xa, u, t, params: MPCParams):
             c0 = params.consts
@@ -474,7 +502,7 @@ class MPC:
                       ((c0.xlb + mx) - x) / c0.x_scale]
             g += [(u - (c0.uub - mu_m)) / c0.u_scale,
                   ((c0.ulb + mu_m) - u) / c0.u_scale]
-            if self.user_ineq is not None:
+            if hard_user and self.user_ineq is not None:
                 g.append(self.user_ineq(x, params.sigmas[t], u,
                                         params.con_par))
             return jnp.concatenate(g)
@@ -487,7 +515,7 @@ class MPC:
             if hard_state:
                 g += [(x - (c0.xub - mx)) / c0.x_scale,
                       ((c0.xlb + mx) - x) / c0.x_scale]
-            if self.terminal_constraint is not None:
+            if hard_user and self.terminal_constraint is not None:
                 # ||x_N - x_sp||^2 <= terminal_constraint [SURVEY C6, conf. M]
                 e = x - params.x_sp[nt]
                 g.append(jnp.array([e @ e - self.terminal_constraint]))
@@ -496,9 +524,10 @@ class MPC:
             return jnp.concatenate(g)
 
         n_state_con = 2 * nx if hard_state else 0
-        n_ineq = n_state_con + 2 * nu + self.num_user_con
-        n_term = n_state_con + (1 if self.terminal_constraint is not None
-                                else 0)
+        n_user_con = self.num_user_con if hard_user else 0
+        n_ineq = n_state_con + 2 * nu + n_user_con
+        n_term = n_state_con + (1 if (self.terminal_constraint is not None
+                                      and hard_user) else 0)
         self.problem = al_sqp.TrajectoryProblem(
             nx=self.Nxa, nu=nu, horizon=nt,
             dynamics=dynamics, stage_cost=stage_cost,

@@ -152,8 +152,10 @@ def cholupdate(l: jnp.ndarray, x: jnp.ndarray,
 
     Classic (hyperbolic-)rotation sweep expressed as a ``lax.scan`` over
     columns — each column update is a fused vector op on the VPU, no host
-    round-trips.  Used for online GP conditioning in the batched closed-loop
-    study (BASELINE config 5).
+    round-trips.  Library utility with oracle tests (tests/test_gp_core.py);
+    the online-GP conditioning path itself uses the bordered-inverse form
+    (:mod:`gpmpc_tpu.parallel.online_gp`), which subsumed the round-1
+    cholupdate-based scheme.
     """
     sign = -1.0 if downdate else 1.0
     n = l.shape[0]

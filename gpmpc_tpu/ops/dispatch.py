@@ -46,6 +46,7 @@ class PallasPolicy:
 
     gram_min_n: Optional[int] = None   # measured: XLA at the floor; never
     chol_min_n: Optional[int] = None   # measured: XLA wins all sizes; never
+    predict_min_b: Optional[int] = None  # batched k*/mean kernel; default XLA
 
 
 #: Active policy (module-global; swap with ``set_policy`` for other
@@ -87,3 +88,24 @@ def cholesky_auto(a: jnp.ndarray) -> jnp.ndarray:
         from gpmpc_tpu.ops.pallas_kernels import cholesky_pallas
         return cholesky_pallas(a)
     return _c.cholesky_psd(a)
+
+
+def gp_predict_batch_auto(z: jnp.ndarray, x: jnp.ndarray, ell: jnp.ndarray,
+                          sf2, alpha: jnp.ndarray):
+    """Batched single-dim GP cross-kernel + mean with backend dispatch:
+    z (B, D), x (N, D) -> (mu (B,), ks (B, N)).
+
+    XLA route: ``ks = se_ard_cross(z, x, ell, sf2); mu = ks @ alpha`` —
+    a fused matmul+exp epilogue, at the HBM floor like the Gram (header
+    table).  Pallas route (``predict_min_b``):
+    :func:`gpmpc_tpu.ops.pallas_kernels.gp_predict_batch_pallas`, one launch
+    for the O(B N D) work; kept as a verified alternate for hardware where
+    a fused-consumer kernel can skip the ks HBM round trip.
+    """
+    b = z.shape[0]
+    p = _POLICY
+    if p.predict_min_b is not None and b >= p.predict_min_b and _on_tpu():
+        from gpmpc_tpu.ops.pallas_kernels import gp_predict_batch_pallas
+        return gp_predict_batch_pallas(z, x, ell, sf2, alpha)
+    ks = _k.se_ard_cross(z, x, ell, sf2)
+    return ks @ alpha, ks

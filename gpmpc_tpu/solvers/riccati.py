@@ -253,12 +253,14 @@ def solve_fused(qp: StageQP, dx0: jnp.ndarray, reg: jnp.ndarray | float
     from gpmpc_tpu.ops.pallas_kernels import riccati_sweep_pallas
 
     if qp.b.dtype == jnp.float64:
-        import warnings
-        warnings.warn(
-            "solve_fused runs the KKT sweep in f32 — the x64 problem will "
-            "be solved at f32 accuracy (MPC refuses this combination "
-            "outright; direct solver users get this warning once per trace)",
-            stacklevel=2)
+        # dtype is static at trace time, so this is a hard error — a
+        # trace-time warning was too easy to miss and the x64 parity result
+        # silently degraded to f32 accuracy (ADVICE r2).  Mirrors the MPC
+        # constructor's fused_kkt/float64 guard.
+        raise ValueError(
+            "solve_fused runs the KKT sweep in f32 (TPU production dtype) "
+            "— it would silently degrade a float64 problem; use "
+            "riccati.solve or solve_parallel for x64 parity work")
     interpret = jax.default_backend() != "tpu"
     dx, du, gains, ffs, dec = riccati_sweep_pallas(
         qp.a, qp.b, qp.c, qp.q_xx, qp.q_uu, qp.q_xu, qp.q_x, qp.q_u,
