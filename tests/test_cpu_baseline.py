@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "benchmarks"))
 
 import cpu_baseline as cb  # noqa: E402
+import pytest
+
+# SLSQP receding loops + closed-loop MPC compiles (~1-4 min).
+pytestmark = pytest.mark.slow
 
 
 def test_slsqp_baseline_solves_same_nlp():

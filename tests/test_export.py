@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from gpmpc_tpu import GP, MPC, Model
 from gpmpc_tpu.models.gp_core import GPHypers
 from gpmpc_tpu.systems import four_tank_ode
+import pytest
+
+# AOT export round-trips compile twice per test (~1-2 min).
+pytestmark = pytest.mark.slow
 from gpmpc_tpu.utils.export import (export_solve_step, load_solve_step,
                                     _example_args)
 

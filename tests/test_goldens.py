@@ -11,6 +11,9 @@ import pytest
 
 import golden_configs as gc
 
+# every golden is a compiled closed-loop run (10-45 s each).
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 

@@ -88,6 +88,7 @@ def test_predict_matches_oracle():
     np.testing.assert_allclose(np.asarray(var), want_var, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_training_recovers_good_fit():
     """L-BFGS multistart training reaches a good NLL and predicts held-out
     data well (the reference quality bar: SMSE validation [SURVEY §4])."""

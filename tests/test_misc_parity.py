@@ -30,6 +30,7 @@ def test_mean_function_features():
         mean_features(x, "spline")
 
 
+@pytest.mark.slow
 def test_linear_mean_gp_extrapolates():
     """A GP with a linear prior mean must extrapolate a linear trend far
     outside the data, where a zero-mean GP falls back to zero
@@ -83,6 +84,7 @@ def test_dae_with_adaptive_integrator():
                                atol=1e-8)
 
 
+@pytest.mark.slow
 def test_posterior_survives_f32_conditioning_cliff():
     """Hypers from an unconstrained x64 fit (large sf2, sn2 ~ 2e-8) sit on
     an f32 conditioning cliff: the unguarded Cholesky NaN'd and the
@@ -186,6 +188,7 @@ def test_trajectory_reference_shape_validation():
                   noise=False)
 
 
+@pytest.mark.slow
 def test_dae_plant_in_closed_loop():
     """A DAE plant drives the full MPC stack (rk4 embedding + integrate
     truth) unchanged — the algebraic elimination is below the Model API."""
@@ -206,6 +209,7 @@ def test_dae_plant_in_closed_loop():
     assert abs(xs[-1, 0] - 1.5) < 0.05, xs[-1]
 
 
+@pytest.mark.slow
 def test_gp_save_load_roundtrip(tmp_path):
     x = RNG.uniform(-2, 2, size=(25, 2))
     y = np.sin(x[:, :1]) + 0.01 * RNG.standard_normal((25, 1))

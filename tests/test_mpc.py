@@ -34,6 +34,7 @@ def tank_gp(tank_model):
               max_iters=150, seed=1)
 
 
+@pytest.mark.slow
 def test_gp_learns_tank_dynamics(tank_model, tank_gp):
     """Trained GP predicts held-out one-step transitions (SMSE bar)."""
     Xt, Yt = tank_model.generate_training_data(
@@ -45,6 +46,7 @@ def test_gp_learns_tank_dynamics(tank_model, tank_gp):
     assert np.all(rmse >= 0) and np.all(np.isfinite(rmse))
 
 
+@pytest.mark.slow
 def test_mpc_rk4_reaches_setpoint(tank_model):
     """Known-model MPC (discrete_method='rk4', no GP) regulates the tanks to
     the setpoint under box constraints [SURVEY C6 'rk4' mode]."""
@@ -79,6 +81,7 @@ def test_mpc_gp_me_tracks(tank_model, tank_gp):
     assert np.all(err < 1.5), f"final level error {err}"
 
 
+@pytest.mark.slow
 def test_mpc_gp_ta_chance_constraints(tank_model, tank_gp):
     """Config 3: Taylor covariance propagation + chance tightening — the
     tightened runs must keep a larger safety margin from the bound than the
@@ -112,6 +115,7 @@ def test_mpc_gp_ta_chance_constraints(tank_model, tank_gp):
     assert eigs.min() > -1e-9
 
 
+@pytest.mark.slow
 def test_mpc_hybrid_and_exact_modes(tank_model, tank_gp):
     """'hybrid' (model + GP residual) and 'exact' discretizations build and
     run [SURVEY C6 discrete_method set]."""
@@ -126,6 +130,7 @@ def test_mpc_hybrid_and_exact_modes(tank_model, tank_gp):
         assert np.all(np.isfinite(np.asarray(xs)))
 
 
+@pytest.mark.slow
 def test_mpc_trajectory_reference_tracking(tank_model):
     """Time-varying reference support (beyond-reference: the upstream x_sp
     is a single point [SURVEY C6]).  Three properties:
@@ -174,6 +179,7 @@ def test_mpc_trajectory_reference_tracking(tank_model):
     np.testing.assert_allclose(mpc3.last_run["x_sp"][-1], b_lvl)
 
 
+@pytest.mark.slow
 def test_mpc_saturating_cost_and_delta_u(tank_model):
     """costFunc='sat' + delta-u penalty S (state augmentation path)."""
     mpc = MPC(horizon=4 * DT, model=tank_model, gp=None,
@@ -193,6 +199,7 @@ def test_mpc_saturating_cost_and_delta_u(tank_model):
             < np.abs(xs[0, :2] - X_SS[:2]).max())
 
 
+@pytest.mark.slow
 def test_solve_step_standalone(tank_model):
     """solve_step drives an external plant loop (warm-started)."""
     mpc = MPC(horizon=4 * DT, model=tank_model, gp=None,
@@ -210,6 +217,7 @@ def test_solve_step_standalone(tank_model):
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.slow
 def test_terminal_constraint(tank_model):
     """terminal_constraint: ||x_N - x_sp||^2 <= c at the horizon end
     [SURVEY C6, conf. M]."""
@@ -228,6 +236,7 @@ def test_terminal_constraint(tank_model):
     assert np.isfinite(float(info.obj))
 
 
+@pytest.mark.slow
 def test_gp_feedback_gain_used_in_pure_gp_mode(tank_model, tank_gp):
     """With discrete_method='gp' the LQR feedback gain must come from the
     linearized GP mean dynamics, not the known model's RK4 Jacobian
@@ -252,6 +261,7 @@ def test_gp_feedback_gain_used_in_pure_gp_mode(tank_model, tank_gp):
     assert np.abs(xs[-1, :2] - X_SS[:2]).max() < 0.5
 
 
+@pytest.mark.slow
 def test_solve_step_clips_returned_input(tank_model):
     """solve_step must never hand an external plant a bound-violating input,
     even when the AL solve carries residual constraint violation."""

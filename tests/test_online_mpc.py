@@ -12,6 +12,9 @@ import pytest
 from gpmpc_tpu import GP, MPC, Model
 from gpmpc_tpu.systems import four_tank_ode
 
+# closed-loop adaptive runs with module-scoped GP training.
+pytestmark = pytest.mark.slow
+
 DT = 3.0
 
 

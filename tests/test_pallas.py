@@ -2,6 +2,7 @@
 CPU; the same code compiles for TPU — SURVEY §4 'device parity')."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gpmpc_tpu.ops.kernels import se_ard_gram, se_ard_cross
@@ -11,6 +12,7 @@ from gpmpc_tpu.ops.pallas_kernels import (
 RNG = np.random.default_rng(3)
 
 
+@pytest.mark.slow
 def test_gram_pallas_matches_reference():
     for n, d in [(40, 6), (100, 6), (200, 12), (130, 3)]:
         x = RNG.uniform(-2, 2, size=(n, d))
@@ -59,6 +61,7 @@ def test_fused_integrator_matches_scan():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_riccati_matches_sequential_sweep():
     """The single-launch Pallas Riccati sweep reproduces riccati.solve on
     random stage QPs (incl. cross terms, defects, nonzero dx0) and reports

@@ -4,6 +4,7 @@ Device-parity strategy (SURVEY §4): vmap-of-1 == unbatched; sharded runs on
 the 8-device virtual CPU mesh must match unsharded results."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -29,6 +30,7 @@ def _small_gp(n=20, d=3, ny=2):
               optimizer_opts=dict(min_noise=0.0, jitter=0.0))
 
 
+@pytest.mark.slow
 def test_padded_posterior_matches_unpadded():
     gp = _small_gp()
     post, norm = online_gp.from_gp(gp, capacity=32)
@@ -40,6 +42,7 @@ def test_padded_posterior_matches_unpadded():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_condition_matches_batch_retrain():
     """Sequentially conditioning on k new points must equal building the
     posterior from scratch on the union data (same hypers)."""
@@ -116,6 +119,7 @@ def _tank_study(mesh=None, condition_online=True):
         condition_online=condition_online, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_vmap_of_one_equals_unbatched():
     study = _tank_study()
     x0 = np.array([[8.0, 9.0, 1.0, 1.0]])
@@ -128,6 +132,7 @@ def test_vmap_of_one_equals_unbatched():
                                np.asarray(r2.x_traj[3]), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_study_matches_unsharded():
     devs = jax.devices()
     assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
@@ -153,6 +158,7 @@ def test_sharded_study_matches_unsharded():
     assert np.all(np.asarray(r_sh.gp_points) <= 30 + 3)
 
 
+@pytest.mark.slow
 def test_study_checkpoint_resume(tmp_path):
     """Checkpoint/resume [SURVEY §5]: resuming from a saved study must
     continue with the individually conditioned per-rollout posteriors."""

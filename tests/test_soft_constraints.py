@@ -9,6 +9,9 @@ import pytest
 from gpmpc_tpu import MPC, Model
 from gpmpc_tpu.systems import four_tank_ode
 
+# every test is a compiled receding-horizon closed loop.
+pytestmark = pytest.mark.slow
+
 DT = 3.0
 
 

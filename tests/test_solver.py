@@ -5,6 +5,7 @@ are cross-checked against scipy SLSQP; KKT residuals at convergence."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from scipy.linalg import solve_discrete_are
 from scipy.optimize import minimize
 
@@ -121,16 +122,20 @@ def _double_integrator_problem(nt=10, dt=0.1, umax=1.0, with_box=True):
     r_cost = 0.01 * np.eye(nu)
     x_ref = np.array([1.0, 0.0])
 
+    # constants follow the iterate's dtype so the same problem runs in
+    # f64 (parity tests) or f32 (the fused Pallas KKT path, which rejects
+    # f64 outright)
     def dynamics(x, u, t, params):
-        return jnp.array(a) @ x + jnp.array(b) @ u
+        return jnp.asarray(a, x.dtype) @ x + jnp.asarray(b, x.dtype) @ u
 
     def stage_cost(x, u, t, params):
-        e = x - jnp.array(x_ref)
-        return 0.5 * e @ jnp.array(q) @ e + 0.5 * u @ jnp.array(r_cost) @ u
+        e = x - jnp.asarray(x_ref, x.dtype)
+        return (0.5 * e @ jnp.asarray(q, x.dtype) @ e
+                + 0.5 * u @ jnp.asarray(r_cost, x.dtype) @ u)
 
     def terminal_cost(x, params):
-        e = x - jnp.array(x_ref)
-        return 5.0 * e @ jnp.array(q) @ e
+        e = x - jnp.asarray(x_ref, x.dtype)
+        return 5.0 * e @ jnp.asarray(q, x.dtype) @ e
 
     if with_box:
         def stage_ineq(x, u, t, params):
@@ -200,6 +205,7 @@ def test_alsqp_box_constrained_matches_slsqp():
     np.testing.assert_allclose(u, u_ref, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_alsqp_nonlinear_pendulum():
     """Nonlinear dynamics: damped pendulum swing toward upright with bounded
     torque; checks defect closure + bound feasibility + local optimality
@@ -270,6 +276,7 @@ def test_shift_state_warm_start():
     np.testing.assert_array_equal(np.asarray(sh.x[0]), np.asarray(x0n))
 
 
+@pytest.mark.slow
 def test_parallel_riccati_matches_sequential():
     """associative_scan Riccati == sequential sweep (SURVEY §2.3 SP-analog)."""
     for nt, nx, nu in [(5, 3, 2), (20, 4, 2), (7, 2, 1)]:
@@ -288,6 +295,7 @@ def test_parallel_riccati_matches_sequential():
                                    rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_parallel_riccati_long_horizons():
     """associative-scan Riccati stays exact at long horizons (the regime it
     exists for: log-depth backward pass)."""
@@ -302,6 +310,7 @@ def test_parallel_riccati_long_horizons():
                                    atol=1e-7)
 
 
+@pytest.mark.slow
 def test_converged_flag_uses_tolerances_and_kkt_stat():
     """`SolveResult.converged` must reflect the config tolerances and a real
     stationarity measure (round-1 weakness: hard-coded 1e-5 feasibility
@@ -329,9 +338,10 @@ def test_converged_flag_uses_tolerances_and_kkt_stat():
 def test_alsqp_fused_kkt_matches_default():
     """The single-launch Pallas KKT path (``fused_kkt=True``) reaches the
     same solution as the default sweep on the box-constrained problem.
-    The kernel is f32, so the comparison bar is f32-grade."""
+    The kernel is f32 (and now REJECTS f64 outright), so the whole
+    comparison runs in f32 and the bar is f32-grade."""
     prob, a, b, q, r_cost, x_ref = _double_integrator_problem(umax=0.4)
-    x0 = jnp.array([0.0, 0.0])
+    x0 = jnp.array([0.0, 0.0], jnp.float32)
     init = init_state(prob, x0, params=None)
     ref = solve(prob, None, init, SQPConfig())
     fus = solve(prob, None, init, SQPConfig(fused_kkt=True))
@@ -341,3 +351,10 @@ def test_alsqp_fused_kkt_matches_default():
                                np.asarray(ref.state.u), atol=2e-4)
     np.testing.assert_allclose(float(fus.obj), float(ref.obj),
                                rtol=1e-5, atol=1e-6)
+
+    # a float64 problem must be rejected at trace time, not silently
+    # downcast (ADVICE r2)
+    init64 = init_state(prob, jnp.array([0.0, 0.0], jnp.float64),
+                        params=None)
+    with pytest.raises(ValueError, match="f32"):
+        solve(prob, None, init64, SQPConfig(fused_kkt=True))

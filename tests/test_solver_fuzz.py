@@ -10,6 +10,10 @@ from scipy.optimize import minimize
 
 from gpmpc_tpu.solvers.al_sqp import TrajectoryProblem, init_state, solve
 from gpmpc_tpu.utils.config import SQPConfig
+import pytest
+
+# fuzz sweeps solve hundreds of random NLPs (~1 min each).
+pytestmark = pytest.mark.slow
 
 
 def _run_case(seed, parallel_kkt):
