@@ -126,10 +126,15 @@ def _init_hypers(key: jax.Array, x: jnp.ndarray, y: jnp.ndarray,
     base_log_sf2 = jnp.log(y_var)
     base_log_sn2 = jnp.log(y_var) - jnp.log(100.0)
 
+    # perturbations carry the DATA's dtype: the default (f64 under x64)
+    # silently promoted the whole hyperparameter fit and posterior of an
+    # f32 model to f64 — an f32 Model + GP under jax_enable_x64 then failed
+    # scan carry-type checks in the controller (found round 3 via the car
+    # bench on CPU)
     k1, k2, k3 = jax.random.split(key, 3)
-    pert_ell = jax.random.normal(k1, (n_starts, ny, d)) * 0.7
-    pert_sf2 = jax.random.normal(k2, (n_starts, ny)) * 0.7
-    pert_sn2 = jax.random.normal(k3, (n_starts, ny)) * 1.5
+    pert_ell = jax.random.normal(k1, (n_starts, ny, d), x.dtype) * 0.7
+    pert_sf2 = jax.random.normal(k2, (n_starts, ny), x.dtype) * 0.7
+    pert_sn2 = jax.random.normal(k3, (n_starts, ny), x.dtype) * 1.5
     # first start is the unperturbed heuristic
     pert_ell = pert_ell.at[0].set(0.0)
     pert_sf2 = pert_sf2.at[0].set(0.0)

@@ -135,3 +135,21 @@ def test_predict_jit_and_vmap_consistency():
     batched = jax.vmap(lambda zi: gp_core.predict(post, zi, cfg)[0])(z)
     np.testing.assert_allclose(np.asarray(single), np.asarray(batched),
                                atol=1e-12)
+
+
+def test_f32_data_keeps_f32_posterior_under_x64():
+    """An f32 GP trained while jax_enable_x64 is on must stay f32 end to
+    end: the multistart perturbations silently promoted the fit (and the
+    posterior) to f64, which then failed scan carry-type checks when an
+    f32 MPC embedded the GP (found round 3 via the car bench on CPU)."""
+    from gpmpc_tpu import GP
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (20, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (20, 2)), jnp.float32)
+    gp = GP(x, y, mean_func="zero", multistart=2, max_iters=20, seed=0)
+    assert gp.hyper.log_ell.dtype == jnp.float32
+    assert gp.post.chol.dtype == jnp.float32
+    assert gp.post.alpha.dtype == jnp.float32
+    mu, var = gp.predict(jnp.zeros(3, jnp.float32))
+    assert mu.dtype == jnp.float32 and var.dtype == jnp.float32
