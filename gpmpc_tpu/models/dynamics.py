@@ -86,7 +86,10 @@ class Model:
         # substeps at Nx=4, vs ~10 us fused).  Opt-in because the ODE must
         # lower through Mosaic (pure jnp elementwise math does; exotic ops
         # may not) and the kernel is f32 + not reverse-differentiable —
-        # plant truth only, never the NLP-embedded map.
+        # plant truth only, never the NLP-embedded map.  SINGLE-ROLLOUT
+        # only: vmapped over a large batch the kernel is ~2x SLOWER than
+        # the batched XLA scan chain (measured at B=1024, RESULTS.md
+        # "vmapped-Pallas trap") — batched studies should keep the default.
         self.fused_integrator = bool(fused_integrator)
         if self.fused_integrator:
             if dtype == jnp.float64:

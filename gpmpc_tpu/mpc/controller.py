@@ -347,6 +347,17 @@ class MPC:
             self._bd_pinv = (jnp.linalg.pinv(self.Bd) if dm == "hybrid"
                              else None)
 
+        # the static (non-array) option set as one frozen record — the
+        # introspectable analog of the reference's stored constructor args
+        # [SURVEY §5 'Config']; also what __repr__ prints
+        from gpmpc_tpu.utils.config import MPCOptions
+        self.options = MPCOptions(
+            gp_method=self.gp_method, discrete_method=dm,
+            cost_func=self.cost_func, feedback=self.feedback,
+            percentile=percentile, terminal_constraint=terminal_constraint,
+            cov_updates=self.cov_updates, num_con_par=self.num_con_par,
+            solver=self.sqp_cfg)
+
         self._build_problem()
         self._solve_step_jit = jax.jit(self._solve_step)
         self._solve_step_init_jit = jax.jit(
@@ -795,6 +806,10 @@ class MPC:
     @property
     def last_run(self):
         return self._last_run
+
+    def __repr__(self):
+        return (f"MPC(Nt={self.Nt}, Nx={self.Nx}, Nu={self.Nu}, "
+                f"dt={self.dt}, {self.options})")
 
     # ------------------------------------------------------------ plotting
 
