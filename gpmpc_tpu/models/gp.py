@@ -41,6 +41,12 @@ class GP:
     Parity surface (``gp_mpc/gp_class.py`` [SURVEY C5]): ``train``,
     ``predict``, ``set_method``, ``validate``, ``save_model``/``load_model``,
     ``print_hyper_parameters``, ``get_size``.
+
+    Beyond-reference: ``inducing=M`` switches to the sparse variational GP
+    (:mod:`gpmpc_tpu.models.sparse`): M k-center inducing points, training
+    on the Titsias free-energy bound, O(M^2) embedded prediction — the
+    production-scale path for N in the thousands, transparent to every
+    consumer of ``self.post`` (predict/propagate/MPC/export).
     """
 
     def __init__(self,
@@ -55,11 +61,17 @@ class GP:
                  optimizer_opts: Optional[dict] = None,
                  train: bool = True,
                  seed: int = 0,
-                 dtype=None):
+                 dtype=None,
+                 inducing: Optional[int] = None):
         X = jnp.asarray(X, dtype)
         Y = jnp.asarray(Y, dtype)
         if X.ndim != 2 or Y.ndim != 2 or X.shape[0] != Y.shape[0]:
             raise ValueError("X must be (N, D) and Y (N, Ny) with equal N")
+        if inducing is not None and not 1 <= int(inducing) < X.shape[0]:
+            raise ValueError(
+                f"inducing={inducing} must be in [1, N={X.shape[0]}) — "
+                "at M >= N the exact GP is both cheaper and tighter")
+        self.inducing = int(inducing) if inducing is not None else None
         self.X_raw = X
         self.Y_raw = Y
         self.N, self.D = X.shape
@@ -84,6 +96,14 @@ class GP:
         self.Xn = (X - self.norm.z_mean) / self.norm.z_std
         self.Yn = (Y - self.norm.y_mean) / self.norm.y_std
 
+        if self.inducing is not None:
+            from gpmpc_tpu.models.sparse import select_inducing
+            self.z_idx = select_inducing(self.Xn, self.inducing)
+            self.Zn = self.Xn[self.z_idx]               # (M, D) inducing inputs
+        else:
+            self.z_idx = None
+            self.Zn = None
+
         self.hyper: Optional[gp_core.GPHypers] = hyper
         self.nll: Optional[jnp.ndarray] = None
         self.post: Optional[gp_core.GPPosterior] = None
@@ -96,14 +116,29 @@ class GP:
     # ------------------------------------------------------------ training
 
     def train(self, key: Optional[jax.Array] = None) -> None:
-        """Multistart L-BFGS hyperparameter training [SURVEY C4/C5]."""
+        """Multistart L-BFGS hyperparameter training [SURVEY C4/C5].
+
+        With ``inducing=M`` set, trains on the Titsias variational free
+        energy instead of the exact NLL (:mod:`gpmpc_tpu.models.sparse`) —
+        same multistart grid, O(M^2 N) per objective evaluation."""
         if key is None:
             key = self._key
-        self.hyper, self.nll = gp_core.fit(self.Xn, self.Yn, self.cfg, key)
+        if self.inducing is not None:
+            from gpmpc_tpu.models.sparse import fit_sparse
+            self.hyper, self.nll = fit_sparse(self.Xn, self.Yn, self.Zn,
+                                              self.cfg, key)
+        else:
+            self.hyper, self.nll = gp_core.fit(self.Xn, self.Yn, self.cfg, key)
         self._build_posterior()
 
     def _build_posterior(self) -> None:
-        self.post = gp_core.posterior(self.Xn, self.Yn, self.hyper, self.cfg)
+        if self.inducing is not None:
+            from gpmpc_tpu.models.sparse import sparse_posterior
+            self.post = sparse_posterior(self.Xn, self.Yn, self.Zn,
+                                         self.hyper, self.cfg)
+        else:
+            self.post = gp_core.posterior(self.Xn, self.Yn, self.hyper,
+                                          self.cfg)
 
     # ------------------------------------------------------------ predict
 
@@ -218,7 +253,8 @@ class GP:
                  mean_w=np.asarray(self.hyper.mean_w),
                  mean_func=self.cfg.mean_func,
                  gp_method=self.gp_method,
-                 normalize=self.cfg.normalize)
+                 normalize=self.cfg.normalize,
+                 inducing=self.inducing or 0)
 
     @classmethod
     def load_model(cls, path: str) -> "GP":
@@ -229,9 +265,11 @@ class GP:
             log_sf2=jnp.asarray(z["log_sf2"]),
             log_sn2=jnp.asarray(z["log_sn2"]),
             mean_w=jnp.asarray(z["mean_w"]))
+        inducing = int(z["inducing"]) if "inducing" in z else 0
         return cls(z["X"], z["Y"], mean_func=str(z["mean_func"]),
                    gp_method=str(z["gp_method"]), hyper=hyper,
-                   normalize=bool(z["normalize"]))
+                   normalize=bool(z["normalize"]),
+                   inducing=inducing or None)
 
     # ------------------------------------------------------------ misc
 

@@ -174,16 +174,21 @@ def _run_lbfgs(fun, theta0, max_iters: int, tol: float):
 
 
 def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
-        key: jax.Array) -> Tuple[GPHypers, jnp.ndarray]:
+        key: jax.Array, nll_fn=None) -> Tuple[GPHypers, jnp.ndarray]:
     """Train all Ny GPs with multistart; returns best hypers + final NLLs.
 
     Parity target: ``gp_mpc/optimize.py::train_gp`` [SURVEY C4] — but the
     (multistart x output-dim) grid runs as one vmapped compiled program
     instead of a sequential Python loop over IPOPT calls [SURVEY §2.3 DP row].
+
+    ``nll_fn`` (same signature as :func:`nll_single`) swaps the per-dim
+    objective — used by :mod:`gpmpc_tpu.models.sparse` to train on the
+    variational free energy bound with the identical multistart machinery.
     """
     ny = y.shape[1]
     s = cfg.multistart
     starts = _init_hypers(key, x, y, s, cfg.mean_func)
+    nll = nll_fn if nll_fn is not None else nll_single
 
     def fit_one(args):
         log_ell, log_sf2, log_sn2, mean_w, y_d = args
@@ -191,8 +196,8 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
                   "log_sn2": log_sn2, "mean_w": mean_w}
 
         def fun(t):
-            return nll_single(t["log_ell"], t["log_sf2"], t["log_sn2"],
-                              t["mean_w"], x, y_d, cfg, cfg.mean_func)
+            return nll(t["log_ell"], t["log_sf2"], t["log_sn2"],
+                       t["mean_w"], x, y_d, cfg, cfg.mean_func)
 
         return _run_lbfgs(fun, theta0, cfg.max_iters, cfg.grad_tol)
 

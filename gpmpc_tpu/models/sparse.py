@@ -1,0 +1,166 @@
+"""Sparse (inducing-point) GP regression — Titsias variational free energy.
+
+Beyond-reference production-scale capability: the reference
+(``gp_mpc/optimize.py`` / ``gp_class.py`` [SURVEY C4/C5]) trains exact GPs,
+which is O(N^3) per NLL evaluation and O(N^2) per embedded prediction —
+fine at its N~100 thesis scale, a wall at production data sizes.  This
+module adds the standard sparse variational treatment (Titsias 2009, "
+Variational Learning of Inducing Variables in Sparse Gaussian Processes"):
+M << N inducing inputs Z summarize the data; training minimizes the
+variational free energy (a provable upper bound on the exact NLL), and
+prediction costs O(M) mean / O(M^2) variance regardless of N.
+
+TPU-native shape: every term of the bound is a dense matmul — K_MN is an
+(M, N) cross-kernel (one MXU matmul + exp), the bound needs one O(M^2 N)
+matmul and two O(M^3) Cholesky factorizations per evaluation.  No
+sparsity-pattern scatter/gather anywhere, so XLA tiles it straight onto
+the MXU; N in the tens of thousands trains on-chip.
+
+The payoff for the MPC stack: the VFE posterior has the SAME algebraic
+form as the exact posterior —
+
+    mean(x*) = m(x*) + k_*M beta
+    var(x*)  = sf2 - k_*M Lambda k_M*
+
+with ``beta = sigma^-2 Sigma K_MN r`` and ``Lambda = K_MM^-1 - Sigma``
+(``Sigma = (K_MM + sigma^-2 K_MN K_NM)^-1``, PSD by construction).  So it
+is exposed as an ordinary :class:`gpmpc_tpu.models.gp_core.GPPosterior`
+with ``x -> Z``, ``alpha -> beta``, ``inv_k -> Lambda``, and EVERYTHING
+downstream — deterministic predict, ME/TA/EM moment propagation
+[SURVEY C3b-d], the MPC embedding, AOT export — works unchanged, with
+per-stage propagation cost dropping from O(N^2) to O(M^2).
+
+Not compatible with online conditioning (`parallel/online_gp.py`), whose
+update algebra assumes ``inv_k`` is the data-space precision; guarded at
+``from_gp``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.models import gp_core
+from gpmpc_tpu.models.gp_core import GPHypers, GPPosterior, _jitter_floor, _noise_var
+from gpmpc_tpu.models.mean_functions import mean_value
+from gpmpc_tpu.ops.kernels import se_ard_cross, se_ard_gram
+from gpmpc_tpu.ops.chol import tri_solve
+from gpmpc_tpu.ops.dispatch import cholesky_auto as cholesky_psd
+from gpmpc_tpu.utils.config import GPConfig
+
+
+def select_inducing(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Greedy k-center (farthest-point) subset: indices of ``m`` rows of
+    ``x`` (N, D) that cover the data, deterministically.
+
+    Starts at the medoid (closest point to the mean) and repeatedly adds
+    the point farthest from the current set.  O(N m) distance evaluations,
+    each an (N,) vectorized op under ``lax.fori_loop`` — no Python loop
+    over N.  Deterministic given ``x``, so a saved model can rebuild its
+    inducing set from (X, M) alone.
+    """
+    n = x.shape[0]
+    if not 1 <= m <= n:
+        raise ValueError(f"inducing count m={m} must be in [1, N={n}]")
+    first = jnp.argmin(jnp.sum((x - jnp.mean(x, axis=0)) ** 2, axis=1))
+    idx = jnp.zeros(m, jnp.int32).at[0].set(first.astype(jnp.int32))
+    mind = jnp.sum((x - x[first]) ** 2, axis=1)          # (N,)
+
+    def body(i, carry):
+        idx, mind = carry
+        nxt = jnp.argmax(mind).astype(jnp.int32)
+        idx = idx.at[i].set(nxt)
+        d2 = jnp.sum((x - x[nxt]) ** 2, axis=1)
+        return idx, jnp.minimum(mind, d2)
+
+    idx, _ = jax.lax.fori_loop(1, m, body, (idx, mind))
+    return idx
+
+
+def _factor_terms(log_ell, log_sf2, log_sn2, z_ind, x, cfg: GPConfig):
+    """Shared factorization: L_M = chol(K_MM), A = L_M^-1 K_MN / sigma,
+    L_B = chol(I + A A^T).  One O(M^2 N) matmul + two O(M^3) Choleskys."""
+    ell = jnp.exp(log_ell)
+    sf2 = jnp.exp(log_sf2)
+    sn2 = _noise_var(log_sn2, cfg)
+    jit = _jitter_floor(cfg, x.dtype)
+    k_mm = se_ard_gram(z_ind, ell, sf2, 0.0, jitter=jit)
+    l_m = cholesky_psd(k_mm)
+    k_mn = se_ard_cross(z_ind, x, ell, sf2)              # (M, N)
+    a = tri_solve(l_m, k_mn) / jnp.sqrt(sn2)             # (M, N)
+    m_ind = z_ind.shape[0]
+    b = jnp.eye(m_ind, dtype=x.dtype) + a @ a.T
+    l_b = cholesky_psd(b)
+    return l_m, a, l_b, sf2, sn2
+
+
+def vfe_nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
+                   log_sn2: jnp.ndarray, mean_w: jnp.ndarray,
+                   z_ind: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                   cfg: GPConfig, mean_func: str) -> jnp.ndarray:
+    """Variational free energy (negative ELBO) for ONE output dimension —
+    the sparse stand-in for ``gp_core.nll_single`` [SURVEY C4]:
+
+        F = 0.5 [ N log(2 pi sn2) + log|B| + (r^T r - c^T c) / sn2 ]
+            + (N sf2 / sn2 - tr(A A^T)) / 2        (Titsias trace term)
+
+    with r = y - m(X), c = L_B^-1 A r.  F >= exact NLL for every Z, with
+    equality at Z = X — the trace term penalizes unsummarized variance, so
+    minimizing F trades fit against sparsity-induced overconfidence
+    (plain FITC/DTC has no such guard).
+    """
+    import math
+    n = x.shape[0]
+    l_m, a, l_b, sf2, sn2 = _factor_terms(
+        log_ell, log_sf2, log_sn2, z_ind, x, cfg)
+    r = y - mean_value(x, mean_w, mean_func)
+    c = tri_solve(l_b, a @ r)                            # (M,)
+    quad = (jnp.dot(r, r) - jnp.dot(c, c)) / sn2
+    logdet = jnp.sum(jnp.log(jnp.diagonal(l_b))) + 0.5 * n * jnp.log(sn2)
+    trace = 0.5 * (n * sf2 / sn2 - jnp.sum(a * a))
+    nll = (0.5 * quad + logdet + 0.5 * n * math.log(2.0 * math.pi) + trace)
+    prior = 1e-4 * (jnp.sum(log_ell ** 2) + log_sf2 ** 2 + log_sn2 ** 2)
+    return nll + prior
+
+
+def fit_sparse(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
+               cfg: GPConfig, key: jax.Array) -> Tuple[GPHypers, jnp.ndarray]:
+    """Train all Ny sparse GPs (multistart L-BFGS on the VFE bound) — the
+    sparse counterpart of ``gp_core.fit`` [SURVEY C4], same one-program
+    (multistart x output-dim) grid."""
+    def nll_fn(log_ell, log_sf2, log_sn2, mean_w, xx, yy, cfg_, mf):
+        return vfe_nll_single(log_ell, log_sf2, log_sn2, mean_w,
+                              z_ind, xx, yy, cfg_, mf)
+
+    return gp_core.fit(x, y, cfg, key, nll_fn=nll_fn)
+
+
+def sparse_posterior(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
+                     hypers: GPHypers, cfg: GPConfig) -> GPPosterior:
+    """Precompute the VFE posterior as a drop-in :class:`GPPosterior`:
+
+    ``x`` = Z (M, D), ``alpha`` = beta (Ny, M), ``inv_k`` = Lambda (Ny, M, M)
+    with Lambda = K_MM^-1 - Sigma (PSD: Sigma = (K_MM + P)^-1 <= K_MM^-1
+    for P >= 0), ``chol`` = L_M.  ``gp_core.predict`` and the ME/TA/EM
+    propagators then evaluate the exact VFE predictive moments unchanged.
+    """
+    def one(log_ell, log_sf2, log_sn2, mean_w, y_d):
+        l_m, a, l_b, _, sn2 = _factor_terms(
+            log_ell, log_sf2, log_sn2, z_ind, x, cfg)
+        r = y_d - mean_value(x, mean_w, cfg.mean_func)
+        c = tri_solve(l_b, a @ r)                        # (M,)
+        # beta = sigma^-1 L_M^-T L_B^-T c
+        beta = tri_solve(l_m, tri_solve(l_b, c, trans=True),
+                         trans=True) / jnp.sqrt(sn2)
+        m_ind = z_ind.shape[0]
+        eye = jnp.eye(m_ind, dtype=x.dtype)
+        inv_lm = tri_solve(l_m, eye)                     # L_M^-1
+        w = tri_solve(l_b, inv_lm)                       # L_B^-1 L_M^-1
+        lam = inv_lm.T @ inv_lm - w.T @ w                # K_MM^-1 - Sigma
+        return l_m, beta, lam
+
+    l, beta, lam = jax.vmap(one, in_axes=(0, 0, 0, 0, 1))(
+        hypers.log_ell, hypers.log_sf2, hypers.log_sn2, hypers.mean_w, y)
+    return GPPosterior(x=z_ind, chol=l, alpha=beta, inv_k=lam, hypers=hypers)

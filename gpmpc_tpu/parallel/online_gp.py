@@ -63,6 +63,13 @@ def from_gp(gp, capacity: int) -> Tuple[OnlinePosterior, Normalization]:
         # EM gate in GP.set_method.
         raise ValueError("online conditioning requires mean_func='zero' "
                          f"(got {gp.cfg.mean_func!r})")
+    if getattr(gp, "inducing", None):
+        # the bordered-inverse update assumes post.inv_k is the data-space
+        # precision (K + sn2 I)^-1; a sparse posterior's Lambda is not, so
+        # conditioning on it would corrupt every subsequent prediction
+        raise ValueError("online conditioning requires a full (non-sparse) "
+                         "GP; got inducing="
+                         f"{gp.inducing} — train without `inducing`")
     n, d = gp.Xn.shape
     ny = gp.Ny
     if capacity < n:
