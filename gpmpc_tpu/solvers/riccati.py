@@ -304,10 +304,17 @@ def lqr_gain(a: jnp.ndarray, b: jnp.ndarray, q: jnp.ndarray, r: jnp.ndarray,
         delta = jnp.max(jnp.abs(p_n - p)) / (1.0 + jnp.max(jnp.abs(p_n)))
         return p_n, it + 1, delta <= tol
 
-    p_final, _, done = jax.lax.while_loop(
-        cond, body, (q, jnp.zeros((), jnp.int32), jnp.asarray(False)))
-    bp = b.T @ p_final
-    k = jnp.linalg.solve(r + bp @ b, bp @ a)
+    # MXU default matmul precision is bf16-multiply: its ~1e-3 relative
+    # noise keeps the fixed point oscillating above the f32 tolerance
+    # floor, so the loop hit the cap and reported spurious non-convergence
+    # on perfectly stabilizable pairs (observed on v5e with the car
+    # linearization).  These are Nx x Nx matmuls in a one-time constructor
+    # path — full f32 precision is free here.
+    with jax.default_matmul_precision("highest"):
+        p_final, _, done = jax.lax.while_loop(
+            cond, body, (q, jnp.zeros((), jnp.int32), jnp.asarray(False)))
+        bp = b.T @ p_final
+        k = jnp.linalg.solve(r + bp @ b, bp @ a)
     if return_converged:
         return k, done
     return k
