@@ -70,6 +70,9 @@ def main():
             if kind == "sparse" and args.m >= n:
                 continue
             kw = {"inducing": args.m} if kind == "sparse" else {}
+            if dev != "cpu":
+                # f32 conditioning-cliff floors, same as bench.py's TPU GP
+                kw["optimizer_opts"] = dict(jitter=1e-5, min_noise=1e-5)
             t0 = time.perf_counter()
             gp = GP(np.asarray(X), np.asarray(Y), mean_func="zero",
                     gp_method="TA", multistart=2, max_iters=200, seed=0,

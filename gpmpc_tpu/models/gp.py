@@ -47,6 +47,8 @@ class GP:
     on the Titsias free-energy bound, O(M^2) embedded prediction — the
     production-scale path for N in the thousands, transparent to every
     consumer of ``self.post`` (predict/propagate/MPC/export).
+    ``optimize_inducing=True`` additionally gradient-refines the inducing
+    locations on the summed bound (fit -> Z-step -> warm refit).
     """
 
     def __init__(self,
@@ -62,7 +64,8 @@ class GP:
                  train: bool = True,
                  seed: int = 0,
                  dtype=None,
-                 inducing: Optional[int] = None):
+                 inducing: Optional[int] = None,
+                 optimize_inducing: bool = False):
         X = jnp.asarray(X, dtype)
         Y = jnp.asarray(Y, dtype)
         if X.ndim != 2 or Y.ndim != 2 or X.shape[0] != Y.shape[0]:
@@ -72,6 +75,9 @@ class GP:
                 f"inducing={inducing} must be in [1, N={X.shape[0]}) — "
                 "at M >= N the exact GP is both cheaper and tighter")
         self.inducing = int(inducing) if inducing is not None else None
+        if optimize_inducing and inducing is None:
+            raise ValueError("optimize_inducing=True requires inducing=M")
+        self.optimize_inducing = bool(optimize_inducing)
         self.X_raw = X
         self.Y_raw = Y
         self.N, self.D = X.shape
@@ -124,9 +130,17 @@ class GP:
         if key is None:
             key = self._key
         if self.inducing is not None:
-            from gpmpc_tpu.models.sparse import fit_sparse
-            self.hyper, self.nll = fit_sparse(self.Xn, self.Yn, self.Zn,
-                                              self.cfg, key)
+            from gpmpc_tpu.models import sparse
+            self.hyper, self.nll = sparse.fit_sparse(self.Xn, self.Yn,
+                                                     self.Zn, self.cfg, key)
+            if self.optimize_inducing:
+                # coordinate descent: Z-step on the summed bound with
+                # hypers fixed, then a warm-started hyper refit on the
+                # moved set (single start; exploration already happened)
+                self.Zn, _ = sparse.optimize_inducing(
+                    self.Xn, self.Yn, self.Zn, self.hyper, self.cfg)
+                self.hyper, self.nll = sparse.refit_sparse(
+                    self.Xn, self.Yn, self.Zn, self.hyper, self.cfg)
         else:
             self.hyper, self.nll = gp_core.fit(self.Xn, self.Yn, self.cfg, key)
         self._build_posterior()
@@ -254,7 +268,13 @@ class GP:
                  mean_func=self.cfg.mean_func,
                  gp_method=self.gp_method,
                  normalize=self.cfg.normalize,
-                 inducing=self.inducing or 0)
+                 inducing=self.inducing or 0,
+                 # the (possibly gradient-optimized) inducing set in
+                 # NORMALIZED coordinates — stored explicitly so a loaded
+                 # model reproduces the trained posterior even when Z has
+                 # moved off the deterministic k-center subset
+                 Zn=(np.asarray(self.Zn) if self.Zn is not None
+                     else np.zeros((0, 0))))
 
     @classmethod
     def load_model(cls, path: str) -> "GP":
@@ -266,10 +286,17 @@ class GP:
             log_sn2=jnp.asarray(z["log_sn2"]),
             mean_w=jnp.asarray(z["mean_w"]))
         inducing = int(z["inducing"]) if "inducing" in z else 0
-        return cls(z["X"], z["Y"], mean_func=str(z["mean_func"]),
-                   gp_method=str(z["gp_method"]), hyper=hyper,
-                   normalize=bool(z["normalize"]),
-                   inducing=inducing or None)
+        gp = cls(z["X"], z["Y"], mean_func=str(z["mean_func"]),
+                 gp_method=str(z["gp_method"]), hyper=hyper,
+                 normalize=bool(z["normalize"]),
+                 inducing=inducing or None)
+        if inducing and "Zn" in z and z["Zn"].size:
+            zn = jnp.asarray(z["Zn"], gp.Xn.dtype)
+            if not np.array_equal(np.asarray(gp.Zn), np.asarray(zn)):
+                gp.Zn = zn                       # optimized, not k-center
+                gp._build_posterior()
+                gp.set_method(gp.gp_method)
+        return gp
 
     # ------------------------------------------------------------ misc
 

@@ -137,6 +137,73 @@ def fit_sparse(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
     return gp_core.fit(x, y, cfg, key, nll_fn=nll_fn)
 
 
+def optimize_inducing(x: jnp.ndarray, y: jnp.ndarray, z0: jnp.ndarray,
+                      hypers: GPHypers, cfg: GPConfig,
+                      max_iters: int = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage-2 refinement of the inducing locations: L-BFGS on Z itself,
+    minimizing the SUMMED per-dim VFE bound with the hyperparameters held
+    fixed.
+
+    Z is shared across all Ny output dims (the drop-in ``GPPosterior``
+    carries one ``x`` field), so unlike the hyperparameters it cannot ride
+    the per-dim multistart grid — it gets its own (M*D)-variable solve,
+    warm-started from the greedy k-center subset.  The bound is
+    differentiable in Z through the same two Choleskys the training pass
+    already uses, so this is ~one extra `fit`-sized program, not new math.
+
+    Returns ``(z_opt, total_bound)``.  Coordinate descent: callers
+    typically re-fit the hyperparameters on ``z_opt`` afterwards
+    (:meth:`gpmpc_tpu.models.gp.GP.train` with ``optimize_inducing=True``
+    does fit -> Z-opt -> refit).
+    """
+    if max_iters is None:
+        max_iters = cfg.max_iters
+
+    def fun(t):
+        def one(log_ell, log_sf2, log_sn2, mean_w, y_d):
+            return vfe_nll_single(log_ell, log_sf2, log_sn2, mean_w,
+                                  t["z"], x, y_d, cfg, cfg.mean_func)
+
+        vals = jax.vmap(one, in_axes=(0, 0, 0, 0, 1))(
+            hypers.log_ell, hypers.log_sf2, hypers.log_sn2,
+            hypers.mean_w, y)
+        return jnp.sum(vals)
+
+    theta, val = gp_core._run_lbfgs(fun, {"z": z0}, max_iters, cfg.grad_tol)
+    # L-BFGS can land on a NaN/degenerate point if two inducing points
+    # merge and the K_MM factor collapses; keep the k-center set then
+    ok = jnp.isfinite(val) & (val <= fun({"z": z0}))
+    z_opt = jnp.where(ok, theta["z"], z0)
+    return z_opt, jnp.where(ok, val, fun({"z": z0}))
+
+
+def refit_sparse(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
+                 hypers: GPHypers, cfg: GPConfig
+                 ) -> Tuple[GPHypers, jnp.ndarray]:
+    """Re-fit the hyperparameters on a NEW inducing set, warm-started from
+    already-trained values — the cheap second leg of the coordinate
+    descent (single start per dim; the multistart exploration already
+    happened in the first :func:`fit_sparse` pass)."""
+    def fit_one(args):
+        log_ell, log_sf2, log_sn2, mean_w, y_d = args
+        theta0 = {"log_ell": log_ell, "log_sf2": log_sf2,
+                  "log_sn2": log_sn2, "mean_w": mean_w}
+
+        def fun(t):
+            return vfe_nll_single(t["log_ell"], t["log_sf2"], t["log_sn2"],
+                                  t["mean_w"], z_ind, x, y_d, cfg,
+                                  cfg.mean_func)
+
+        return gp_core._run_lbfgs(fun, theta0, cfg.max_iters, cfg.grad_tol)
+
+    problems = (hypers.log_ell, hypers.log_sf2, hypers.log_sn2,
+                hypers.mean_w, y.T)
+    thetas, values = jax.lax.map(fit_one, problems)
+    return GPHypers(log_ell=thetas["log_ell"], log_sf2=thetas["log_sf2"],
+                    log_sn2=thetas["log_sn2"],
+                    mean_w=thetas["mean_w"]), values
+
+
 def sparse_posterior(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
                      hypers: GPHypers, cfg: GPConfig) -> GPPosterior:
     """Precompute the VFE posterior as a drop-in :class:`GPPosterior`:

@@ -134,6 +134,33 @@ def test_sparse_guards():
         GP(x, y, inducing=0, train=False)
 
 
+def test_optimize_inducing_improves_bound_and_roundtrips(toy, tmp_path):
+    """Stage-2 Z optimization: the summed VFE bound at the optimized set
+    is no worse than at the k-center set (guarded fallback), persistence
+    stores the MOVED set, and the loaded model reproduces predictions."""
+    x, y, _, _ = toy
+    gp0 = GP(np.asarray(x), np.asarray(y), multistart=1, max_iters=150,
+             inducing=12, seed=0)
+    gp1 = GP(np.asarray(x), np.asarray(y), multistart=1, max_iters=150,
+             inducing=12, seed=0, optimize_inducing=True)
+    assert float(jnp.sum(gp1.nll)) <= float(jnp.sum(gp0.nll)) + 1e-6
+    # Z actually moved off the k-center subset
+    assert not np.allclose(np.asarray(gp1.Zn), np.asarray(gp0.Zn))
+    path = str(tmp_path / "szopt.npz")
+    gp1.save_model(path)
+    gp2 = GP.load_model(path)
+    np.testing.assert_allclose(np.asarray(gp2.Zn), np.asarray(gp1.Zn))
+    z = np.array([0.4, -0.2, 0.9])
+    np.testing.assert_allclose(np.asarray(gp2.predict(z)[0]),
+                               np.asarray(gp1.predict(z)[0]), atol=1e-12)
+
+
+def test_optimize_inducing_requires_sparse():
+    x = np.random.default_rng(0).uniform(size=(20, 2))
+    with pytest.raises(ValueError, match="optimize_inducing"):
+        GP(x, x[:, :1], optimize_inducing=True, train=False)
+
+
 def test_online_conditioning_rejects_sparse(toy):
     from gpmpc_tpu.parallel import online_gp
     x, y, _, _ = toy
