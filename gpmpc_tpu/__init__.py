@@ -17,6 +17,23 @@ Public surface (mirrors the reference package exports,
     from gpmpc_tpu import Model, GP, MPC
 """
 
+import os as _os
+
+import jax as _jax
+
+# Control-grade matmul precision.  XLA's DEFAULT f32 matmul on TPU is a
+# single bf16-multiply pass (~4e-3 relative noise).  Two measured failure
+# modes in this framework: (1) the kernel Gram via the
+# ||x||^2+||z||^2-2x.z expansion is cancellation-amplified, which corrupted
+# f32 GP training end-to-end on v5e (held-out SMSE 5e-5 on CPU f32 vs 19
+# on TPU, same seeds/config); (2) iterate-to-tolerance fixed points
+# (Riccati) oscillate above their convergence floor.  Everything here is
+# small-matrix and dispatch-overhead-bound, so full-fidelity f32 (3-pass
+# on the MXU) costs ~nothing — set it once for every op in the package.
+# Opt out (or into bf16 studies) with GPMPC_TPU_MATMUL_PRECISION.
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("GPMPC_TPU_MATMUL_PRECISION", "highest"))
+
 from gpmpc_tpu.models.dynamics import Model
 from gpmpc_tpu.models.gp import GP
 from gpmpc_tpu.mpc.controller import MPC

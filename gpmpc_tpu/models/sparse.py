@@ -85,7 +85,17 @@ def _factor_terms(log_ell, log_sf2, log_sn2, z_ind, x, cfg: GPConfig):
     ell = jnp.exp(log_ell)
     sf2 = jnp.exp(log_sf2)
     sn2 = _noise_var(log_sn2, cfg)
-    jit = _jitter_floor(cfg, x.dtype)
+    # The exact NLL's Gram gets sn2 >= min_noise on its diagonal, which
+    # bounds its condition number no matter where L-BFGS pushes the
+    # lengthscales.  K_MM has NO noise term — as ell grows it tends to
+    # sf2*(ones + jit*I), condition ~ M/jit, which at the plain 50-ulp
+    # floor (~6e-6 in f32) crosses f32's ~1e7 limit for M ~ 64 and lets
+    # the factorization degrade mid-optimization (measured on v5e: the
+    # VFE bound then diverges to -inf through the quad term below).
+    # Mirror the guard with a dtype-aware floor ~800 ulps (1e-4 in f32,
+    # cond(K_MM) <~ M*1e4; ~1.8e-13 in f64 where cfg.jitter dominates).
+    jit = max(_jitter_floor(cfg, x.dtype),
+              800.0 * float(jnp.finfo(x.dtype).eps))
     k_mm = se_ard_gram(z_ind, ell, sf2, 0.0, jitter=jit)
     l_m = cholesky_psd(k_mm)
     k_mn = se_ard_cross(z_ind, x, ell, sf2)              # (M, N)
@@ -117,11 +127,25 @@ def vfe_nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
         log_ell, log_sf2, log_sn2, z_ind, x, cfg)
     r = y - mean_value(x, mean_w, mean_func)
     c = tri_solve(l_b, a @ r)                            # (M,)
-    quad = (jnp.dot(r, r) - jnp.dot(c, c)) / sn2
+    # r^T r - c^T c >= 0 exactly (c is a projection of r), but the
+    # difference is catastrophically cancellation-prone when the fit is
+    # tight; a numerically-negative value scaled by 1/sn2 hands L-BFGS an
+    # unbounded descent direction (bound -> -inf, NaN hypers — seen on
+    # v5e f32 even at full matmul precision).  Clamping at 0 removes the
+    # spurious descent while logdet + trace keep their gradients.
+    quad = jnp.maximum(jnp.dot(r, r) - jnp.dot(c, c), 0.0) / sn2
     logdet = jnp.sum(jnp.log(jnp.diagonal(l_b))) + 0.5 * n * jnp.log(sn2)
-    trace = 0.5 * (n * sf2 / sn2 - jnp.sum(a * a))
+    # n*sf2/sn2 = tr(K_NN)/sn2 >= tr(A A^T) exactly (Nystrom Q_NN <= K_NN),
+    # but at ill-conditioned points (tiny lengthscales, K_MM near-singular)
+    # the f32 tri_solve overestimates tr(A A^T) by orders of magnitude and
+    # L-BFGS rides the difference to -1e6-scale "bounds" (measured).  Same
+    # clamp as quad: both terms are provably nonnegative, and with both
+    # clamps the whole objective is bounded below by the logdet terms.
+    trace = 0.5 * jnp.maximum(n * sf2 / sn2 - jnp.sum(a * a), 0.0)
     nll = (0.5 * quad + logdet + 0.5 * n * math.log(2.0 * math.pi) + trace)
-    prior = 1e-4 * (jnp.sum(log_ell ** 2) + log_sf2 ** 2 + log_sn2 ** 2)
+    prior = (max(cfg.ell_prior, 1e-4) * jnp.sum(log_ell ** 2)
+             + 1e-4 * log_sn2 ** 2
+             + max(cfg.sf2_prior, 1e-4) * log_sf2 ** 2)
     return nll + prior
 
 
@@ -129,12 +153,27 @@ def fit_sparse(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
                cfg: GPConfig, key: jax.Array) -> Tuple[GPHypers, jnp.ndarray]:
     """Train all Ny sparse GPs (multistart L-BFGS on the VFE bound) — the
     sparse counterpart of ``gp_core.fit`` [SURVEY C4], same one-program
-    (multistart x output-dim) grid."""
+    (multistart x output-dim) grid.
+
+    The grid gets one extra informed start: an EXACT fit on a small
+    k-center subset (O(256^3) — negligible next to the VFE fit).  The VFE
+    landscape has a wide "predict the mean" local optimum (trace term
+    n*sf2/sn2 explodes when short initial lengthscales leave the inducing
+    set unable to summarize, so L-BFGS kills sf2 / inflates sn2 instead);
+    data-blind random starts land there for a fraction of output dims at
+    production N (measured: 2-3 of 4 four-tank dims at held-out SMSE ~1.0
+    from the heuristic grid alone, vs all dims ~5e-4 with the subset
+    seed).  Subset-exact hypers start inside the good basin.
+    """
     def nll_fn(log_ell, log_sf2, log_sn2, mean_w, xx, yy, cfg_, mf):
         return vfe_nll_single(log_ell, log_sf2, log_sn2, mean_w,
                               z_ind, xx, yy, cfg_, mf)
 
-    return gp_core.fit(x, y, cfg, key, nll_fn=nll_fn)
+    n = x.shape[0]
+    sub = select_inducing(x, min(n, 256))
+    k_warm, key = jax.random.split(key)
+    warm, _ = gp_core.fit(x[sub], y[sub], cfg, k_warm)
+    return gp_core.fit(x, y, cfg, key, nll_fn=nll_fn, extra_starts=warm)
 
 
 def optimize_inducing(x: jnp.ndarray, y: jnp.ndarray, z0: jnp.ndarray,

@@ -17,6 +17,7 @@ Shapes use: N, M = numbers of points, D = input dim, Ny = output dims.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,10 +27,19 @@ def sq_maha(x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     Computed via the expansion ||x||^2 + ||z||^2 - 2 x.z so the inner term is
     a single matmul (MXU) instead of an O(N*M*D) broadcast subtraction
     (HBM-bound).  Clamped at zero against cancellation.
+
+    The cross matmul is PINNED to full f32 fidelity regardless of the
+    global matmul-precision setting: the expansion is cancellation-
+    amplified (the result is a small difference of large norms), and a
+    single-pass bf16 matmul here corrupts the Gram enough to break GP
+    training end-to-end on TPU (held-out SMSE 5e-5 -> 19, measured on
+    v5e — see RESULTS.md round 3b).  Pinning locally keeps the kernel
+    math safe even when the package runs the fast global default.
     """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)          # (N, 1)
     z2 = jnp.sum(z * z, axis=-1, keepdims=True).T        # (1, M)
-    cross = x @ z.T                                      # (N, M) matmul
+    cross = jnp.matmul(x, z.T,
+                       precision=jax.lax.Precision.HIGHEST)  # (N, M) MXU
     return jnp.maximum(x2 + z2 - 2.0 * cross, 0.0)
 
 

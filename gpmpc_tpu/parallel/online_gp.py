@@ -118,8 +118,14 @@ def predict(post: OnlinePosterior, norm: Normalization,
         ks = se_ard_cross(zn[None], post.x, jnp.exp(log_ell),
                           jnp.exp(log_sf2))[0]
         mu = jnp.dot(ks, alpha)
-        # matmul variance path — no triangular solves (backend pathology)
-        var = jnp.maximum(jnp.exp(log_sf2) - jnp.dot(ks, inv_k @ ks), 0.0)
+        # matmul variance path — no triangular solves (backend pathology).
+        # Pinned precision: sf2 - k*^T K^-1 k* is a small difference of
+        # large quadratic forms (see gp_core.predict)
+        hi = jax.lax.Precision.HIGHEST
+        var = jnp.maximum(
+            jnp.exp(log_sf2)
+            - jnp.dot(ks, jnp.matmul(inv_k, ks, precision=hi),
+                      precision=hi), 0.0)
         return mu, var
 
     mu_n, var_n = jax.vmap(one)(post.log_ell, post.log_sf2, post.inv_k,
@@ -179,8 +185,12 @@ def condition(post: OnlinePosterior, norm: Normalization,
         # kernel vs the CURRENT live points (insert slot still sentinel)
         ks = se_ard_cross(zn[None], post.x, ell, sf2)[0]
         ks = jnp.where(rows < m, ks, 0.0)
-        w = inv_k @ ks                             # (C,) zero beyond m
-        s_raw = sf2 + sn2 - jnp.dot(ks, w)
+        # pinned precision: s_raw is the same Schur-complement
+        # cancellation as the predictive variance, and it feeds both the
+        # novelty gate and the 1/s scaling of the bordered update
+        hi = jax.lax.Precision.HIGHEST
+        w = jnp.matmul(inv_k, ks, precision=hi)    # (C,) zero beyond m
+        s_raw = sf2 + sn2 - jnp.dot(ks, w, precision=hi)
         # novelty gate (per dim): the prior-conditional variance s must
         # exceed both a noise-relative floor (3 sn2 — blocks the duplicate-
         # compounding that blows up the inverse form) and a signal-relative
