@@ -58,19 +58,14 @@ def tank_section():
     x_sp = jnp.asarray(XSP, dtype)
 
     budgets = [
-        ("al1_mi1_p1e4", dict(al_iters=1, max_iters=1, ls_steps=8,
-                              penalty_init=1e4, fused_kkt=True)),
-        ("al1_mi2_p1e4", dict(al_iters=1, max_iters=2, ls_steps=8,
-                              penalty_init=1e4, fused_kkt=True)),
-        ("al2_mi1_p1e4", dict(al_iters=2, max_iters=1, ls_steps=8,
-                              penalty_init=1e4, fused_kkt=True)),
-        ("al2_mi2_p1e4", dict(al_iters=2, max_iters=2, ls_steps=8,
-                              penalty_init=1e4, fused_kkt=True)),
-        ("al1_mi2_p1e3", dict(al_iters=1, max_iters=2, ls_steps=8,
-                              penalty_init=1e3, fused_kkt=True)),
-        ("al2_mi2_p1e2", dict(al_iters=2, max_iters=2, ls_steps=8,
-                              penalty_init=1e2, fused_kkt=True)),
-        ("converged", dict(al_iters=4, max_iters=20, fused_kkt=True)),
+        ("al4_mi2_ls8_p100", dict(al_iters=4, max_iters=2, ls_steps=8,
+                                  penalty_init=100.0, fused_kkt=True)),
+        ("al3_mi3_ls8_p1e3", dict(al_iters=3, max_iters=3, ls_steps=8,
+                                  penalty_init=1e3, fused_kkt=True)),
+        ("al2_mi6_ls8_p300", dict(al_iters=2, max_iters=6, ls_steps=8,
+                                  penalty_init=300.0, fused_kkt=True)),
+        ("al4_mi4_ls8_p100", dict(al_iters=4, max_iters=4, ls_steps=8,
+                                  penalty_init=100.0, fused_kkt=True)),
     ]
     for name, opts in budgets:
         mpc = B.build_mpc(model, gp, dtype, opts)

@@ -102,10 +102,16 @@ def nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
     nll = (0.5 * jnp.dot(r, a)
            + jnp.sum(jnp.log(jnp.diagonal(l)))
            + 0.5 * n * math.log(2.0 * math.pi))
-    # weak log-space prior keeps L-BFGS out of overflow territory (the
-    # reference's IPOPT bounds / lam_x regularization play this role
-    # [SURVEY C4, confidence L])
-    prior = 1e-4 * (jnp.sum(log_ell ** 2) + log_sf2 ** 2 + log_sn2 ** 2)
+    # log-space priors: a weak 1e-4 floor keeps L-BFGS out of overflow
+    # territory (the reference's IPOPT bounds / lam_x regularization play
+    # this role [SURVEY C4, confidence L]); the ell/sf2 terms additionally
+    # carry the variance-calibration priors (GPConfig.{ell,sf2}_prior:
+    # keep the fit off the flat ell,sf2->inf linear-kernel ridge, whose
+    # numerically-singular Gram yields garbage predictive variances and
+    # breaks every uncertainty consumer downstream)
+    prior = (max(cfg.ell_prior, 1e-4) * jnp.sum(log_ell ** 2)
+             + 1e-4 * log_sn2 ** 2
+             + max(cfg.sf2_prior, 1e-4) * log_sf2 ** 2)
     return nll + prior
 
 
@@ -174,7 +180,8 @@ def _run_lbfgs(fun, theta0, max_iters: int, tol: float):
 
 
 def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
-        key: jax.Array, nll_fn=None) -> Tuple[GPHypers, jnp.ndarray]:
+        key: jax.Array, nll_fn=None,
+        extra_starts: GPHypers = None) -> Tuple[GPHypers, jnp.ndarray]:
     """Train all Ny GPs with multistart; returns best hypers + final NLLs.
 
     Parity target: ``gp_mpc/optimize.py::train_gp`` [SURVEY C4] — but the
@@ -184,10 +191,19 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
     ``nll_fn`` (same signature as :func:`nll_single`) swaps the per-dim
     objective — used by :mod:`gpmpc_tpu.models.sparse` to train on the
     variational free energy bound with the identical multistart machinery.
+
+    ``extra_starts`` appends informed initializations (per-dim ``GPHypers``,
+    Ny leading) to the random-perturbation grid — the sparse path seeds the
+    VFE fit with an exact subset fit this way, because the VFE landscape
+    has a wide "predict the mean" basin that swallows data-blind starts.
     """
     ny = y.shape[1]
     s = cfg.multistart
     starts = _init_hypers(key, x, y, s, cfg.mean_func)
+    if extra_starts is not None:
+        starts = GPHypers(*(jnp.concatenate([a, b[None].astype(a.dtype)])
+                            for a, b in zip(starts, extra_starts)))
+        s = s + 1
     nll = nll_fn if nll_fn is not None else nll_single
 
     def fit_one(args):
@@ -295,7 +311,15 @@ def predict(post: GPPosterior, z: jnp.ndarray, cfg: GPConfig
         # batch/vmap onto the MXU.  (A vmapped triangular solve here costs
         # ~0.3 ms EACH on TPU — catastrophic inside the per-stage scan of
         # covariance propagation; invK turns it into fused matmuls.)
-        var = jnp.exp(log_sf2) - jnp.dot(ks, inv_k @ ks)
+        # Pinned to full f32 fidelity: near data k*^T K^-1 k* approaches
+        # sf2, so var is a small difference of large quadratic forms — a
+        # single-pass bf16 matvec leaves ~4e-3*sf2 of noise in a variance
+        # whose honest value can be 1e-4*sf2 (tightening then inflates on
+        # rounding error, not uncertainty)
+        hi = jax.lax.Precision.HIGHEST
+        var = (jnp.exp(log_sf2)
+               - jnp.dot(ks, jnp.matmul(inv_k, ks, precision=hi),
+                         precision=hi))
         if cfg.predict_includes_noise:
             var = var + _noise_var(log_sn2, cfg)
         return mu, jnp.maximum(var, 0.0)

@@ -168,14 +168,24 @@ def propagate_em(post: gp_core.GPPosterior, norm: Normalization,
         logdet_r = chol_logdet_small(lm)
         u = nu * il_a[None, :]                          # (N, D)
         v = nu * il_b[None, :]                          # (N, D)
+        # matmuls below are PINNED to full f32 fidelity regardless of the
+        # global matmul-precision setting: uv sits in an exponent (bf16's
+        # 4e-3 relative noise becomes multiplicative on q2), and the
+        # beta^T Q2 beta - mu_a mu_b covariance is a difference of
+        # comparable quadratic forms — the same cancellation class that
+        # measurably corrupted the Gram path (RESULTS.md round 3b)
+        hi = jax.lax.Precision.HIGHEST
         uu = jnp.sum((u @ ris) * u, axis=1)             # (N,)
         vv = jnp.sum((v @ ris) * v, axis=1)             # (N,)
-        uv = u @ ris @ v.T                              # (N, N) matmul
+        uv = jnp.matmul(jnp.matmul(u, ris, precision=hi), v.T,
+                        precision=hi)                   # (N, N) matmul
         log_q2 = (log_km[a][:, None] + log_km[b][None, :]
                   - 0.5 * logdet_r
                   + 0.5 * (uu[:, None] + vv[None, :]) + uv)
         q2 = jnp.exp(log_q2)
-        val = beta[a] @ q2 @ beta[b] - mu_n[a] * mu_n[b]
+        val = (jnp.dot(jnp.matmul(beta[a], q2, precision=hi), beta[b],
+                       precision=hi)
+               - mu_n[a] * mu_n[b])
         diag_term = sf2[a] - jnp.sum(post.inv_k[a] * q2)
         return val + jnp.where(a == b, diag_term, 0.0)
 

@@ -32,6 +32,34 @@ class GPConfig:
     min_noise: float = 1e-6         # floor on noise variance (scaled by var(y))
     normalize: bool = True          # z-score inputs/outputs before training
     predict_includes_noise: bool = False  # add sn2 to predictive variance
+    # Lognormal calibration priors on the signal variance and the
+    # lengthscales: + sf2_prior * log(sf2/var(y))^2 + ell_prior *
+    # sum log(ell/std(x))^2 in the NLL (inputs/outputs are normalized, so
+    # both centers are 0 in log space).  The SE-ARD marginal likelihood
+    # has a near-flat ridge ell, sf2 -> infinity at fixed sf2/ell^2 (the
+    # linear-kernel limit) for smooth targets; an optimizer that descends
+    # the NLL accurately lands there (measured on v5e f32 at full matmul
+    # precision: sf2 ~ 13-47 on unit-variance outputs, ell ~ 1e4-1e6 on
+    # unit-std inputs, train SMSE 3e-5).  On that ridge the MEAN
+    # interpolates beautifully but the Gram is numerically singular
+    # (every point kernel-close to every other), so the predictive
+    # VARIANCE — a cancellation of two ~sf2-sized quadratic forms through
+    # a regularized near-rank-deficient solve — comes out as garbage of
+    # order sf2 even at well-sampled points, per-dim fragile.  Any
+    # uncertainty consumer downstream then breaks: chance tightening
+    # inflated until the setpoint leaves the feasible box (four-tank
+    # closed-loop cost 383k vs 2.3k), EM/TA covariances meaningless.
+    # 0.5 (a lognormal with sigma ~ 1) keeps ell/sf2 within a couple of
+    # e-folds of the data scale: measured on the four-tank residual task
+    # (N=100, D=6, f32), held-out SMSE moves 4.1e-5 -> 5.7e-5 while
+    # closed-loop TA+tightening goes from broken (cost 75k, setpoint
+    # outside the collapsed box) to healthy (2.2k); weaker weights
+    # (0.05-0.2) leave the ridge reachable and the loop fragile, stronger
+    # (1.0) starts to pay real conservatism (cost 2.9k).  The reference's
+    # IPOPT hyperparameter bounds play the same role [SURVEY C4, tag L].
+    # Opt out with optimizer_opts=dict(ell_prior=1e-4, sf2_prior=1e-4).
+    sf2_prior: float = 0.5
+    ell_prior: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

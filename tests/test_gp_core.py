@@ -65,9 +65,11 @@ def test_nll_matches_oracle():
                              jnp.log(sn2), jnp.zeros(0), jnp.array(x),
                              jnp.array(y[:, 0]), cfg, "zero")
     want = oracle.nll(x, y[:, 0], ell, sf2, sn2)
-    # implementation adds a weak log-space prior; subtract it
-    prior = 1e-4 * (np.sum(np.log(ell) ** 2) + np.log(sf2) ** 2
-                    + np.log(sn2) ** 2)
+    # implementation adds log-space priors (weak overflow guard on sn2,
+    # calibration priors on ell/sf2 — GPConfig.{ell,sf2}_prior); subtract
+    prior = (cfg.ell_prior * np.sum(np.log(ell) ** 2)
+             + 1e-4 * np.log(sn2) ** 2
+             + cfg.sf2_prior * np.log(sf2) ** 2)
     assert abs(float(got) - (want + prior)) < 1e-8
 
 
