@@ -111,6 +111,53 @@ def test_training_recovers_good_fit():
     assert smse < 0.05, f"SMSE {smse} too large"
 
 
+def test_f32_training_variance_calibration():
+    """Regression test for the round-3b failure class: on SMOOTH targets,
+    unregularized accurate-f32 NLL descent walks the SE-ARD linear-kernel
+    ridge (sf2 13-47x var(y), ell 1e4-1e6x std(x)) whose numerically
+    singular Gram makes the predictive VARIANCE garbage of order sf2 even
+    at the training inputs — every downstream uncertainty consumer
+    (chance tightening, EM covariances) then breaks while the mean (and
+    any SMSE-only test) still looks perfect.  The GPConfig ell/sf2 priors
+    must keep the fit calibrated: hypers near the data scale and
+    in-distribution predictive sigma a small fraction of std(y)."""
+    rng = np.random.default_rng(42)   # own stream: position-independent
+    n, d = 100, 4
+    x = rng.uniform(-1.7, 1.7, size=(n, d)).astype(np.float32)
+    # near-linear smooth target + tiny noise: the ridge-attracting case
+    f = (0.9 * x[:, 0] + 0.4 * x[:, 1] - 0.2 * x[:, 2]
+         + 0.05 * np.sin(x[:, 3]))
+    y = (f + 1e-3 * rng.standard_normal(n)).astype(np.float32)
+    y = ((y - y.mean()) / y.std())[:, None]
+    cfg = GPConfig(multistart=2, max_iters=150, jitter=1e-5, min_noise=1e-5)
+    hyp, _ = gp_core.fit(jnp.asarray(x), jnp.asarray(y), cfg,
+                         jax.random.PRNGKey(3))
+    assert hyp.log_sf2.dtype == jnp.float32
+    # hypers within a few e-folds of the (unit) data scale
+    assert float(jnp.max(hyp.log_sf2)) < 3.0, "sf2 escaped to the ridge"
+    assert float(jnp.max(hyp.log_ell)) < 6.0, "ell escaped to the ridge"
+    post = gp_core.posterior(jnp.asarray(x), jnp.asarray(y), hyp, cfg)
+    var = np.array([np.asarray(gp_core.predict(post, jnp.asarray(z), cfg)[1])
+                    for z in x])                     # (N, 1) at train inputs
+    # Miscalibration has two measured polarities, per dataset/dim:
+    #  * EXPLOSION — in-distribution variance of order sf2 (four-tank:
+    #    one-step sigma 3.2 level units at a data-dense point); caught by
+    #    the in-distribution bound (honest value here 0.09, ridge 0.8-10)
+    assert float(np.median(var)) < 0.3, (
+        f"median in-distribution predictive var {np.median(var):.3f} — "
+        "variance decoupled from data density (ridge explosion)")
+    #  * COLLAPSE — overconfident extrapolation: with ridge lengthscales
+    #    (~90x data scale here) no reachable point is ever kernel-far, so
+    #    variance never returns to the prior (measured far-point
+    #    var/sf2 = 0.32 unregularized vs 0.94 with priors, 12 std out)
+    far = jnp.asarray(np.full(d, 12.0, np.float32))
+    vfar = float(gp_core.predict(post, far, cfg)[1][0])
+    sf2 = float(jnp.exp(hyp.log_sf2)[0])
+    assert vfar >= 0.6 * sf2, (
+        f"far-point variance {vfar:.3f} vs sf2 {sf2:.3f} — overconfident "
+        "extrapolation (ridge collapse)")
+
+
 def test_cholupdate():
     n = 12
     a = RNG.standard_normal((n, n))
