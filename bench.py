@@ -52,7 +52,7 @@ from benchmarks._timing import sync
 TARGET_MS = 1.0  # BASELINE north star: < 1 ms / MPC solve at N=20
 
 
-def build_mpc(model, gp, dtype, solver_opts):
+def build_mpc(model, gp, dtype, solver_opts, solve_precision=None):
     return MPC(horizon=NT * model.dt, model=model, gp=gp, gp_method="TA",
                discrete_method="gp",
                Q=Q_W, R=R_W,
@@ -62,7 +62,8 @@ def build_mpc(model, gp, dtype, solver_opts):
                # GP has no data at the zero-level default point)
                op_x=XSP,
                op_u=np.array([3.0, 3.0]),
-               solver_opts=solver_opts, dtype=dtype)
+               solver_opts=solver_opts, solve_precision=solve_precision,
+               dtype=dtype)
 
 
 def bench_four_tank(model, gp, dtype, out):
@@ -188,7 +189,8 @@ def bench_gp_predict(gp, dtype, out):
     out["gp_predict_us"] = round(float(np.median(slopes)), 3)
 
 
-def bench_car(dtype, out, solver_opts=None, cov_updates=1):
+def bench_car(dtype, out, solver_opts=None, cov_updates=1,
+              solve_precision=None):
     """Config 4: car EM + hybrid + obstacle ellipses, N=20 — per-solve
     latency via closed-loop K-slope + feasibility (clearance) flag.
 
@@ -238,6 +240,7 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1):
               cov_updates=cov_updates,
               solver_opts=solver_opts or dict(al_iters=2, max_iters=15,
                                               fused_kkt=True),
+              solve_precision=solve_precision,
               dtype=dtype)
     con_par = obstacles.reshape(-1)
 

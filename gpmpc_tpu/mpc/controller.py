@@ -38,6 +38,7 @@ fundamentally different execution model:
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -147,6 +148,7 @@ class MPC:
                  include_noise_cov: bool = True,
                  cov_updates: int = 2,
                  online_capacity: Optional[int] = None,
+                 solve_precision: Optional[str] = None,
                  dtype=None):
         self.model = model
         self.gp = gp
@@ -193,6 +195,23 @@ class MPC:
         self.init_sqp_cfg = (SQPConfig(**init_solver_opts)
                              if init_solver_opts is not None
                              else SQPConfig())
+        # Matmul-precision scope for the SOLVE program only.  The package
+        # default is full-fidelity f32 matmuls (see gpmpc_tpu/__init__.py:
+        # XLA's default single-bf16-pass matmul corrupted GP TRAINING on
+        # TPU).  The solve-time program is a different numerical regime:
+        # every cancellation-critical form in it (Gram expansion, variance
+        # Schur forms, EM covariance) carries an explicit local
+        # Precision.HIGHEST pin, and the remaining matmuls (QP assembly,
+        # Jacobian contractions, rollout algebra) feed a solver that
+        # iterates to a merit-guarded fixed point, so ~4e-3 relative noise
+        # there costs closed-loop nothing (measured: see RESULTS.md round
+        # 3c).  None inherits the package-wide setting.
+        if solve_precision is not None and solve_precision not in (
+                "default", "high", "highest"):
+            raise ValueError(
+                "solve_precision must be one of None, 'default', 'high', "
+                f"'highest'; got {solve_precision!r}")
+        self.solve_precision = solve_precision
         if (dtype == jnp.float64
                 and (self.sqp_cfg.fused_kkt or self.init_sqp_cfg.fused_kkt)):
             raise ValueError(
@@ -356,15 +375,32 @@ class MPC:
             cost_func=self.cost_func, feedback=self.feedback,
             percentile=percentile, terminal_constraint=terminal_constraint,
             cov_updates=self.cov_updates, num_con_par=self.num_con_par,
-            solver=self.sqp_cfg)
+            solver=self.sqp_cfg, solve_precision=solve_precision)
 
         self._build_problem()
-        self._solve_step_jit = jax.jit(self._solve_step)
+        scope = self._precision_scope
+        self._solve_step_jit = jax.jit(scope(self._solve_step))
         self._solve_step_init_jit = jax.jit(
-            lambda *a: self._solve_step(*a, cfg=self.init_sqp_cfg))
+            scope(lambda *a: self._solve_step(*a, cfg=self.init_sqp_cfg)))
         self._closed_loop_jit = jax.jit(
-            self._closed_loop, static_argnames=("n_steps", "noise"))
+            scope(self._closed_loop), static_argnames=("n_steps", "noise"))
         self._last_run = None
+
+    def _precision_scope(self, fn):
+        """Trace ``fn`` under ``jax.default_matmul_precision(solve_precision)``
+        when set; ``None`` inherits the package-wide full-fidelity default.
+        The local HIGHEST pins on cancellation-critical forms (ops/kernels,
+        models/propagate, models/gp_core, parallel/online_gp) are explicit
+        ``precision=`` arguments, so they survive this scope."""
+        if self.solve_precision is None:
+            return fn
+        prec = self.solve_precision
+
+        @functools.wraps(fn)
+        def scoped(*args, **kwargs):
+            with jax.default_matmul_precision(prec):
+                return fn(*args, **kwargs)
+        return scoped
 
     # ------------------------------------------------------------ dynamics
 

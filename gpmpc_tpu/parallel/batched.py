@@ -103,6 +103,7 @@ class BatchedStudy:
                  capacity: Optional[int] = None,
                  condition_online: bool = True,
                  solver_opts: Optional[dict] = None,
+                 solve_precision: Optional[str] = None,
                  mesh: Optional[Mesh] = None):
         self.model = model
         self.dt = model.dt
@@ -160,7 +161,25 @@ class BatchedStudy:
             stage_ineq=stage_ineq, n_ineq=2 * self.Nu,
             u_guard=lambda p: (p.consts.u_guard_lo, p.consts.u_guard_hi))
 
-        self._run_jit = jax.jit(self._run,
+        # matmul-precision scope for the rollout program (same semantics as
+        # MPC(solve_precision=...): None inherits the package-wide
+        # full-fidelity default; the conditioning/variance forms carry
+        # their own local HIGHEST pins either way)
+        if solve_precision is not None and solve_precision not in (
+                "default", "high", "highest"):
+            raise ValueError(
+                "solve_precision must be one of None, 'default', 'high', "
+                f"'highest'; got {solve_precision!r}")
+        self.solve_precision = solve_precision
+        run = self._run
+        if solve_precision is not None:
+            import functools
+
+            @functools.wraps(self._run)
+            def run(*a, **k):
+                with jax.default_matmul_precision(solve_precision):
+                    return self._run(*a, **k)
+        self._run_jit = jax.jit(run,
                                 static_argnames=("n_steps", "batched_post"))
 
     # ----------------------------------------------------------- rollouts

@@ -113,3 +113,6 @@ class MPCOptions:
     cov_updates: int = 2            # zero-order covariance refresh passes/solve
     num_con_par: int = 0            # runtime params for user constraints
     solver: SQPConfig = SQPConfig()
+    solve_precision: Optional[str] = None  # matmul precision scope for the
+    #                                 solve program (None = package default;
+    #                                 'default'|'high'|'highest')

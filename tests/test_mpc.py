@@ -276,3 +276,39 @@ def test_solve_step_clips_returned_input(tank_model):
                                  np.array([18.0, 18.0, 3.0, 3.0]))
     u0 = np.asarray(u0)
     assert np.all(u0 >= -1e-12) and np.all(u0 <= 2.0 + 1e-12), u0
+
+
+def test_solve_precision_option_validates():
+    """solve_precision: bad values fail at construction, good ones are
+    recorded in the introspectable option set."""
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
+                  R=np.diag([1e-3] * 4), dtype=jnp.float64)
+    kw = dict(horizon=3 * DT, model=model, gp=None, gp_method="ME",
+              discrete_method="rk4", Q=np.eye(4), R=np.eye(2),
+              feedback=False, percentile=None, cov_updates=1)
+    with pytest.raises(ValueError, match="solve_precision"):
+        MPC(solve_precision="fast", **kw)
+    mpc = MPC(solve_precision="default", **kw)
+    assert mpc.options.solve_precision == "default"
+    assert MPC(**kw).options.solve_precision is None
+
+
+@pytest.mark.slow
+def test_solve_precision_scope_is_noop_on_cpu(tank_model, tank_gp):
+    """The precision scope changes only matmul precision attributes, which
+    the CPU backend ignores — closed loops must agree to fp tolerance.
+    (The TPU-side quality evidence lives in RESULTS.md round 3c.)"""
+    kw = dict(horizon=4 * DT, model=tank_model, gp=tank_gp, gp_method="TA",
+              discrete_method="gp",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=True, percentile=0.95, cov_updates=1,
+              op_x=X_SS, op_u=U_SS)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    xs_hi, us_hi = MPC(**kw).solve(x0, 6 * DT, X_SS, noise=False)
+    xs_df, us_df = MPC(solve_precision="default", **kw).solve(
+        x0, 6 * DT, X_SS, noise=False)
+    np.testing.assert_allclose(np.asarray(xs_hi), np.asarray(xs_df),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(us_hi), np.asarray(us_df),
+                               rtol=0, atol=1e-10)

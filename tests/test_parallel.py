@@ -183,3 +183,18 @@ def test_study_checkpoint_resume(tmp_path):
     r_full = study.run(x0s, x_sp, n_steps=4, noise=False)
     np.testing.assert_allclose(np.asarray(r_full.post.x[:, :30]),
                                np.asarray(r2.post.x[:, :30]), atol=1e-9)
+
+
+def test_study_solve_precision_validates():
+    """BatchedStudy(solve_precision=...) rejects junk at construction."""
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=3.0,
+                  R=np.diag([1e-3] * 4), dtype=jnp.float64)
+    X, Y = model.generate_training_data(
+        12, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(2))
+    gp = GP(X, Y, multistart=1, max_iters=10, seed=1)
+    with pytest.raises(ValueError, match="solve_precision"):
+        BatchedStudy(model, gp, horizon=9.0, solve_precision="bf16")
+    s = BatchedStudy(model, gp, horizon=9.0, solve_precision="default")
+    assert s.solve_precision == "default"
