@@ -35,7 +35,25 @@ def sq_maha(x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     training end-to-end on TPU (held-out SMSE 5e-5 -> 19, measured on
     v5e — see RESULTS.md round 3b).  Pinning locally keeps the kernel
     math safe even when the package runs the fast global default.
+
+    Single-query fast path (f32 only): when either side is one point (the
+    embedded predict/propagate path — one kernel row per NLP stage), the
+    O(M*D) broadcast subtraction is used instead.  It is EXACT in f32
+    (squares of differences — no cancellation, so no pin needed), it is
+    fewer ops than the norm expansion (the solve program is launch-bound
+    at MPC sizes, and the HIGHEST pin expands the matmul into multiple
+    bf16 passes), and at M~100, D~6 the materialized diff is trivially
+    small.  The f64 parity path keeps the expansion unconditionally: its
+    accuracy is identical there, and the x64 golden trajectories pin the
+    historical op order (the car obstacle loop amplifies last-ulp
+    differences chaotically — measured 0.33 state divergence from this
+    reordering alone).  Large Grams (training) always use the MXU
+    expansion.
     """
+    if ((x.shape[0] == 1 or z.shape[0] == 1)
+            and x.dtype != jnp.float64):
+        d = x[:, None, :] - z[None, :, :]                # (N, M, D)
+        return jnp.sum(d * d, axis=-1)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)          # (N, 1)
     z2 = jnp.sum(z * z, axis=-1, keepdims=True).T        # (1, M)
     cross = jnp.matmul(x, z.T,
