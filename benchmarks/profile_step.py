@@ -56,8 +56,9 @@ def main():
               percentile=0.95, feedback=True, cov_updates=1,
               op_x=np.array([14.0, 14.0, 1.8, 1.4]),
               op_u=np.array([3.0, 3.0]),
-              solver_opts=dict(al_iters=1, max_iters=1, ls_steps=8,
-                               penalty_init=1e4, parallel_kkt=True),
+              # the bench.py round-3 RTI operating point
+              solver_opts=dict(al_iters=2, max_iters=4, ls_steps=8,
+                               penalty_init=1e3, fused_kkt=True),
               dtype=dtype)
 
     x0 = jnp.asarray([8.0, 10.0, 1.0, 1.5], dtype)
@@ -109,7 +110,55 @@ def main():
     def sqp_body(c, _):
         res = al_sqp.solve(mpc.problem, params, c, mpc.sqp_cfg)
         return res.state, None
-    t_sqp = bench("al_sqp.solve (1 AL x 1 Newton, ls=8)", sqp_body, warm)
+    t_sqp = bench("al_sqp.solve (RTI budget al2 x mi4)", sqp_body, warm)
+
+    # 3a-3d. inside one Gauss-Newton iteration (the inner-loop body):
+    from gpmpc_tpu.solvers import riccati
+    mu_al = jnp.asarray(1e3, dtype)
+    reg = jnp.asarray(1e-6, dtype)
+
+    def qp_body(c, _):
+        st = warm._replace(x=warm.x + c * 1e-30)
+        qp, defects = al_sqp._build_qp(mpc.problem, st, params, mu_al, reg)
+        # consume EVERY field or XLA dead-code-eliminates the jacobians
+        sink = sum(jnp.sum(leaf) for leaf in jax.tree.leaves(qp))
+        return c * 0.5 + sink * 1e-30, None
+    bench("  _build_qp (jacfwd+hessian, Nt=20)", qp_body, jnp.asarray(0.0, dtype))
+
+    def qp_riccati_body(c, _):
+        st = warm._replace(x=warm.x + c * 1e-30)
+        qp, _ = al_sqp._build_qp(mpc.problem, st, params, mu_al, reg)
+        sol = riccati.solve_fused(qp, jnp.zeros(mpc.Nxa, dtype), reg)
+        return c * 0.5 + sol.dx.sum() * 1e-30, None
+    bench("  _build_qp + fused Riccati", qp_riccati_body,
+          jnp.asarray(0.0, dtype))
+
+    def merit_body(c, _):
+        st = warm._replace(x=warm.x + c * 1e-30)
+        m, _ = al_sqp._merit(mpc.problem, st, params, mu_al,
+                             jnp.asarray(1e3, dtype))
+        return c * 0.5 + m * 1e-30, None
+    bench("  _merit (1 eval)", merit_body, jnp.asarray(0.0, dtype))
+
+    def ls_body(c, _):
+        alphas = 0.5 ** jnp.arange(8, dtype=dtype)
+
+        def try_alpha(alpha):
+            st = warm._replace(x=warm.x + (alpha + c) * 1e-30)
+            m, _ = al_sqp._merit(mpc.problem, st, params, mu_al,
+                                 jnp.asarray(1e3, dtype))
+            return m
+        ms = jax.vmap(try_alpha)(alphas)
+        return c * 0.5 + ms.sum() * 1e-30, None
+    bench("  line search (vmap 8 merit evals)", ls_body,
+          jnp.asarray(0.0, dtype))
+
+    def stat_body(c, _):
+        st = warm._replace(x=warm.x + c * 1e-30)
+        s = al_sqp._kkt_stat(mpc.problem, st, params, mu_al)
+        return c * 0.5 + s * 1e-30, None
+    bench("  _kkt_stat (final diagnostics)", stat_body,
+          jnp.asarray(0.0, dtype))
 
     # 4. plant integrate (10 RK4 substeps)
     def plant_body(c, _):
