@@ -65,7 +65,8 @@ class GP:
                  seed: int = 0,
                  dtype=None,
                  inducing: Optional[int] = None,
-                 optimize_inducing: bool = False):
+                 optimize_inducing: bool = False,
+                 mesh=None):
         X = jnp.asarray(X, dtype)
         Y = jnp.asarray(Y, dtype)
         if X.ndim != 2 or Y.ndim != 2 or X.shape[0] != Y.shape[0]:
@@ -87,6 +88,10 @@ class GP:
                             max_iters=max_iters, normalize=normalize, **opts)
         self.gp_method = gp_method.upper()
         self._key = jax.random.PRNGKey(seed)
+        # optional single-axis device mesh: shards the (multistart x Ny)
+        # training grid over its devices (DP over independent training
+        # problems [SURVEY §2.3]); identical results to the local fit
+        self.mesh = mesh
 
         if normalize:
             z_std = jnp.std(X, axis=0)
@@ -142,7 +147,8 @@ class GP:
                 self.hyper, self.nll = sparse.refit_sparse(
                     self.Xn, self.Yn, self.Zn, self.hyper, self.cfg)
         else:
-            self.hyper, self.nll = gp_core.fit(self.Xn, self.Yn, self.cfg, key)
+            self.hyper, self.nll = gp_core.fit(self.Xn, self.Yn, self.cfg,
+                                               key, mesh=self.mesh)
         self._build_posterior()
 
     def _build_posterior(self) -> None:

@@ -181,7 +181,8 @@ def _run_lbfgs(fun, theta0, max_iters: int, tol: float):
 
 def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
         key: jax.Array, nll_fn=None,
-        extra_starts: GPHypers = None) -> Tuple[GPHypers, jnp.ndarray]:
+        extra_starts: GPHypers = None,
+        mesh=None) -> Tuple[GPHypers, jnp.ndarray]:
     """Train all Ny GPs with multistart; returns best hypers + final NLLs.
 
     Parity target: ``gp_mpc/optimize.py::train_gp`` [SURVEY C4] — but the
@@ -196,6 +197,14 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
     Ny leading) to the random-perturbation grid — the sparse path seeds the
     VFE fit with an exact subset fit this way, because the VFE landscape
     has a wide "predict the mean" basin that swallows data-blind starts.
+
+    ``mesh`` (a single-axis ``jax.sharding.Mesh``) shards the
+    (multistart x Ny) problem grid over its devices with ``shard_map``
+    (data parallelism over independent training problems; the grid is
+    padded to a device multiple with copies of problem 0 and the pad is
+    discarded).  Results are identical to the unsharded fit — each
+    problem is solved by the same per-problem program, just on a
+    different device [SURVEY §2.3 'DP over GP training'].
     """
     ny = y.shape[1]
     s = cfg.multistart
@@ -206,16 +215,19 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
         s = s + 1
     nll = nll_fn if nll_fn is not None else nll_single
 
-    def fit_one(args):
+    def fit_one_x(xr, args):
         log_ell, log_sf2, log_sn2, mean_w, y_d = args
         theta0 = {"log_ell": log_ell, "log_sf2": log_sf2,
                   "log_sn2": log_sn2, "mean_w": mean_w}
 
         def fun(t):
             return nll(t["log_ell"], t["log_sf2"], t["log_sn2"],
-                       t["mean_w"], x, y_d, cfg, cfg.mean_func)
+                       t["mean_w"], xr, y_d, cfg, cfg.mean_func)
 
         return _run_lbfgs(fun, theta0, cfg.max_iters, cfg.grad_tol)
+
+    def fit_one(args):
+        return fit_one_x(x, args)
 
     # the (multistart x output-dim) grid runs under lax.map, NOT vmap: the
     # per-problem Cholesky/linesearch stays unbatched, which this backend
@@ -228,7 +240,39 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
         starts.mean_w.reshape(s * ny, -1),
         jnp.tile(y.T, (s, 1)),                 # (S*Ny, N)
     )
-    thetas, values = jax.lax.map(fit_one, problems)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        axis = mesh.axis_names[0]
+        n_dev = int(math.prod(mesh.devices.shape))
+        total = s * ny
+        pad = (-total) % n_dev
+        if pad:
+            problems = tuple(jnp.concatenate(
+                [p, jnp.broadcast_to(p[:1], (pad,) + p.shape[1:])])
+                for p in problems)
+
+        def shard_fit(xr, *probs):
+            # x rides replicated; each device lax.maps its problem shard
+            return jax.lax.map(lambda args: fit_one_x(xr, args), probs)
+
+        mapped = jax.shard_map(
+            shard_fit, mesh=mesh,
+            in_specs=(_P(),) + (_P(axis),) * len(problems),
+            out_specs=(jax.tree.map(lambda _: _P(axis),
+                                    {"log_ell": 0, "log_sf2": 0,
+                                     "log_sn2": 0, "mean_w": 0}),
+                       _P(axis)),
+            # optax's L-BFGS recovery cond mixes replicated and varying
+            # outputs, which the static varying-axis checker rejects even
+            # though the program is correct (every operand is per-shard)
+            check_vma=False)
+        thetas, values = jax.jit(mapped)(x, *problems)
+        if pad:
+            thetas = jax.tree.map(lambda a: a[:total], thetas)
+            values = values[:total]
+    else:
+        thetas, values = jax.lax.map(fit_one, problems)
     values = jnp.where(jnp.isfinite(values), values, jnp.inf)
     values = values.reshape(s, ny)
     thetas = jax.tree.map(lambda a: a.reshape(s, ny, *a.shape[1:]), thetas)

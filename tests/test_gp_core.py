@@ -202,3 +202,31 @@ def test_f32_data_keeps_f32_posterior_under_x64():
     assert gp.post.alpha.dtype == jnp.float32
     mu, var = gp.predict(jnp.zeros(3, jnp.float32))
     assert mu.dtype == jnp.float32 and var.dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_mesh_sharded_fit_matches_local():
+    """fit(mesh=...) shards the multistart x Ny grid over devices and must
+    return exactly the local fit's hypers/NLLs (DP over independent
+    problems, incl. a grid size that needs padding) [SURVEY §2.3]."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs[:8]), axis_names=("dp",))
+
+    key = jax.random.PRNGKey(0)
+    kx, kf = jax.random.split(key)
+    x = jax.random.uniform(kx, (24, 3))
+    w = jnp.asarray([[1.0, -0.5, 0.2], [0.3, 0.8, -1.1], [0.0, 0.5, 0.5]])
+    y = jnp.sin(x @ w.T) + 0.01 * jax.random.normal(kf, (24, 3))
+
+    # multistart=3, Ny=3 -> 9 problems over 8 devices (pad of 7)
+    cfg = GPConfig(multistart=3, max_iters=40)
+    h_local, v_local = gp_core.fit(x, y, cfg, jax.random.PRNGKey(1))
+    h_mesh, v_mesh = gp_core.fit(x, y, cfg, jax.random.PRNGKey(1), mesh=mesh)
+    for a, b in zip(h_local, h_mesh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_local), np.asarray(v_mesh),
+                               rtol=0, atol=1e-10)
