@@ -18,9 +18,13 @@ drive sn2 to ~2e-8, an f32 conditioning cliff where the unguarded posterior
 Cholesky NaN'd and the controller silently applied zero input — now guarded
 with dtype-aware escalating jitter in gp_core.posterior.)
 
-Usage: python benchmarks/device_parity.py          (on the TPU host)
+Usage: python benchmarks/device_parity.py [--solve-precision default]
+(on the TPU host; the flag applies MPC(solve_precision=...) to the TPU
+side, validating the scoped-precision solve program against the same
+x64 truth and tiers)
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -74,6 +78,10 @@ json.dump({"xs": np.asarray(xs).tolist(), "us": np.asarray(us).tolist(),
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solve-precision", default=None,
+                    choices=["default", "high", "highest"])
+    args = ap.parse_args()
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     out = "/tmp/parity_cpu_x64.json"
 
@@ -115,7 +123,8 @@ def main():
     gp = GP(X, Y, mean_func="zero", gp_method="TA", hyper=hyper,
             optimizer_opts=dict(jitter=1e-6, min_noise=1e-4))
     mpc = B.build_mpc(model, gp, dtype,
-                      dict(al_iters=4, max_iters=20, fused_kkt=True))
+                      dict(al_iters=4, max_iters=20, fused_kkt=True),
+                      solve_precision=args.solve_precision)
     xs, us = mpc.solve(jnp.asarray(X0, dtype), 20 * DT,
                        jnp.asarray(XSP, dtype), noise=False)
 
@@ -127,6 +136,7 @@ def main():
     cost_rel = abs(cost_tpu - ref["cost"]) / ref["cost"]
     result = {
         "backend": jax.default_backend(),
+        "solve_precision": args.solve_precision,
         "max_rel_state_dev": round(float(dev), 6),
         "cpu_x64_cost": round(ref["cost"], 3),
         "tpu_f32_cost": round(cost_tpu, 3),
