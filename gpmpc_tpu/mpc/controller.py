@@ -68,6 +68,8 @@ class MPCConsts(NamedTuple):
     xub: jnp.ndarray
     ulb: jnp.ndarray
     uub: jnp.ndarray
+    dulb: Optional[jnp.ndarray]       # hard input-rate bounds (None = off)
+    duub: Optional[jnp.ndarray]
     x_scale: jnp.ndarray
     u_scale: jnp.ndarray
     u_guard_lo: jnp.ndarray
@@ -132,6 +134,7 @@ class MPC:
                  lam: Optional[float] = None,
                  lam_state: Optional[float] = None,
                  ulb=None, uub=None, xlb=None, xub=None,
+                 dulb=None, duub=None,
                  terminal_constraint: Optional[float] = None,
                  feedback: bool = True,
                  percentile: Optional[float] = None,
@@ -246,9 +249,18 @@ class MPC:
         # docs/MIGRATION.md.
         self.lam = None if lam is None else float(lam)
         self.lam_state = None if lam_state is None else float(lam_state)
-        # delta-u penalty -> augment the state with the previous input so the
-        # NLP stays stage-separable (Riccati-factorable)
-        self.aug = self.S is not None
+        # hard input-rate bounds dulb <= u_t - u_{t-1} <= duub
+        # (beyond-reference: the reference expresses rate handling only as
+        # the soft S penalty — its inequality callback sees (x, u) per
+        # stage, never u_prev, so hard rate bounds are inexpressible
+        # there [SURVEY C6]).  Stage-separable via the same previous-input
+        # state augmentation the S penalty uses, so the KKT stays banded.
+        self.has_du_bounds = dulb is not None or duub is not None
+        # delta-u penalty or rate bounds -> augment the state with the
+        # previous input so the NLP stays stage-separable (Riccati-factorable)
+        self.aug = self.S is not None or self.has_du_bounds
+        if self.has_du_bounds and self.S is None:
+            self.S = jnp.zeros((self.Nu, self.Nu), dtype)  # no-op penalty
         self.Nxa = self.Nx + (self.Nu if self.aug else 0)
 
         def vec(v, n, fill):
@@ -260,6 +272,8 @@ class MPC:
         self.uub = vec(uub, self.Nu, _BIG)
         self.xlb = vec(xlb, self.Nx, -_BIG)
         self.xub = vec(xub, self.Nx, _BIG)
+        self.dulb = vec(dulb, self.Nu, -_BIG) if self.has_du_bounds else None
+        self.duub = vec(duub, self.Nu, _BIG) if self.has_du_bounds else None
         self.terminal_constraint = terminal_constraint
         self.u_sp = vec(u_sp, self.Nu, 0.0)
 
@@ -338,6 +352,7 @@ class MPC:
             q=self.Q, p=self.P, r=self.R, s=self.S,
             u_sp=self.u_sp, xlb=self.xlb, xub=self.xub,
             ulb=self.ulb, uub=self.uub,
+            dulb=self.dulb, duub=self.duub,
             x_scale=x_scale, u_scale=u_scale,
             u_guard_lo=self.ulb - pad, u_guard_hi=self.uub + pad,
             k_fb=self.K_fb, noise_cov=noise_cov,
@@ -540,7 +555,7 @@ class MPC:
 
         def stage_ineq(xa, u, t, params: MPCParams):
             c0 = params.consts
-            x, _ = self._split(xa)
+            x, u_prev = self._split(xa)
             mx = params.margins_x[t]
             mu_m = params.margins_u[t]
             g = []
@@ -549,6 +564,14 @@ class MPC:
                       ((c0.xlb + mx) - x) / c0.x_scale]
             g += [(u - (c0.uub - mu_m)) / c0.u_scale,
                   ((c0.ulb + mu_m) - u) / c0.u_scale]
+            if self.has_du_bounds:
+                # hard rate bounds on du = u_t - u_{t-1} (u_prev rides the
+                # augmented state, so the constraint stays stage-separable;
+                # untightened — the rate is a commanded quantity, not a
+                # stochastic one)
+                du = u - u_prev
+                g += [(du - c0.duub) / c0.u_scale,
+                      (c0.dulb - du) / c0.u_scale]
             if hard_user and self.user_ineq is not None:
                 g.append(self.user_ineq(x, params.sigmas[t], u,
                                         params.con_par))
@@ -572,7 +595,8 @@ class MPC:
 
         n_state_con = 2 * nx if hard_state else 0
         n_user_con = self.num_user_con if hard_user else 0
-        n_ineq = n_state_con + 2 * nu + n_user_con
+        n_du_con = 2 * nu if self.has_du_bounds else 0
+        n_ineq = n_state_con + 2 * nu + n_du_con + n_user_con
         n_term = n_state_con + (1 if (self.terminal_constraint is not None
                                       and hard_user) else 0)
         self.problem = al_sqp.TrajectoryProblem(
@@ -679,9 +703,13 @@ class MPC:
         state, u0, sigmas, info = step_fn(
             warm, x0, x_sp, u_prev, sigma0, con_par, self.consts)
         # external callers drive a real plant with this input: saturate to
-        # the hard box like the internal closed loop does, so residual AL
-        # violation can never command a bound-breaking actuator value
+        # the hard box (and rate window) like the internal closed loop does,
+        # so residual AL violation can never command a bound-breaking
+        # actuator value
         u0 = jnp.clip(u0, self.consts.ulb, self.consts.uub)
+        if self.has_du_bounds:
+            u0 = jnp.clip(u0, u_prev + self.consts.dulb,
+                          u_prev + self.consts.duub)
         return u0, state, sigmas, info
 
     def _dummy_params(self, x0a, x_sp):
@@ -730,8 +758,12 @@ class MPC:
             warm, u_cmd, sigmas, info = self._solve_step(
                 warm, x, x_sp, u_prev, sigma0, con_par, consts_k)
             # physical actuator saturation: the plant can only receive inputs
-            # inside the hard box, whatever the solver's residual violation
+            # inside the hard box (and rate window, if bounded), whatever the
+            # solver's residual violation
             u_cmd = jnp.clip(u_cmd, consts.ulb, consts.uub)
+            if self.has_du_bounds:
+                u_cmd = jnp.clip(u_cmd, u_prev + consts.dulb,
+                                 u_prev + consts.duub)
             x_next = self.model.integrate(x, u_cmd)
             if noise:
                 x_next = x_next + w

@@ -312,3 +312,28 @@ def test_solve_precision_scope_is_noop_on_cpu(tank_model, tank_gp):
                                rtol=0, atol=1e-10)
     np.testing.assert_allclose(np.asarray(us_hi), np.asarray(us_df),
                                rtol=0, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_input_rate_bounds(tank_model):
+    """Hard du bounds (beyond-reference): the realized input rate obeys
+    dulb <= u_k - u_{k-1} <= duub where the unconstrained loop violates it,
+    and the controller still regulates."""
+    kw = dict(horizon=5 * DT, model=tank_model, gp=None, gp_method="ME",
+              discrete_method="rk4",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    _, us_free = MPC(**kw).solve(x0, 12 * DT, X_SS, noise=False)
+    xs_r, us_r = MPC(dulb=[-0.6, -0.6], duub=[0.6, 0.6], **kw).solve(
+        x0, 20 * DT, X_SS, noise=False)
+    # rate measured from the loop's initial u_prev = 0
+    du_free = np.diff(np.vstack([[0.0, 0.0], np.asarray(us_free)]), axis=0)
+    du_rate = np.diff(np.vstack([[0.0, 0.0], np.asarray(us_r)]), axis=0)
+    assert np.abs(du_free).max() > 0.6, "bound never binds — test is vacuous"
+    # the applied input is clipped to the rate window (like the box bounds),
+    # so the realized rate respects the bound exactly
+    assert np.abs(du_rate).max() <= 0.6 + 1e-9, du_rate
+    # regulation is slower under the ramp limit but must still converge
+    assert np.abs(np.asarray(xs_r)[-1, :2] - X_SS[:2]).max() < 1.5
