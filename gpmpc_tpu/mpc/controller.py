@@ -184,8 +184,13 @@ class MPC:
         self._gp_cfg = gp.cfg if gp is not None else None
         self._propagator = (get_propagator(self.gp_method)
                             if gp is not None else None)
+        # costFunc: 'quad' | 'sat' (the reference's option set [SURVEY C6])
+        # or, beyond-reference, a CALLABLE (mu, Sigma, x_ref, W) -> scalar
+        # expected stage cost (W is this stage's weight: Q at stages, P at
+        # the terminal stage); pure JAX — it is traced into the NLP and
+        # differentiated like the built-ins
         self.cost_func = costFunc
-        if costFunc not in ("quad", "sat"):
+        if not callable(costFunc) and costFunc not in ("quad", "sat"):
             raise ValueError(f"unknown costFunc {costFunc!r}")
         self.feedback = bool(feedback)
         self.cov_updates = int(cov_updates)
@@ -515,8 +520,10 @@ class MPC:
             x_ref = params.x_sp[t]
             if self.cost_func == "quad":
                 c = cost_lib.expected_quadratic(x, sig, x_ref, c0.q)
-            else:
+            elif self.cost_func == "sat":
                 c = cost_lib.expected_saturating(x, sig, x_ref, c0.q)
+            else:
+                c = self.cost_func(x, sig, x_ref, c0.q)
             du_sp = u - c0.u_sp
             c = c + du_sp @ c0.r @ du_sp
             if self.aug:
@@ -540,8 +547,10 @@ class MPC:
             x_ref = params.x_sp[nt]
             if self.cost_func == "quad":
                 c = cost_lib.expected_quadratic(x, sig, x_ref, c0.p)
-            else:
+            elif self.cost_func == "sat":
                 c = cost_lib.expected_saturating(x, sig, x_ref, c0.p)
+            else:
+                c = self.cost_func(x, sig, x_ref, c0.p)
             if self.lam_state is not None:
                 mx = params.margins_x[nt]
                 viol = (jnp.maximum(x - (c0.xub - mx), 0.0)

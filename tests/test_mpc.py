@@ -337,3 +337,36 @@ def test_input_rate_bounds(tank_model):
     assert np.abs(du_rate).max() <= 0.6 + 1e-9, du_rate
     # regulation is slower under the ramp limit but must still converge
     assert np.abs(np.asarray(xs_r)[-1, :2] - X_SS[:2]).max() < 1.5
+
+
+@pytest.mark.slow
+def test_custom_cost_callable(tank_model):
+    """costFunc may be a callable (mu, Sigma, x_ref, W) -> scalar expected
+    stage cost (beyond-reference): it is traced into the NLP, differentiated
+    by the same AD as the built-ins, and changes the closed loop."""
+    kw = dict(horizon=5 * DT, model=tank_model, gp=None, gp_method="ME",
+              discrete_method="rk4",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+
+    def asymmetric(mu, sigma, x_ref, w):
+        # overshoot above the setpoint costs 9x more than undershoot
+        e = mu - x_ref
+        e_scaled = jnp.where(e > 0, 3.0 * e, e)
+        return e_scaled @ w @ e_scaled + jnp.sum(w * sigma)
+
+    xs_q, _ = MPC(costFunc="quad", **kw).solve(x0, 12 * DT, X_SS,
+                                               noise=False)
+    xs_a, _ = MPC(costFunc=asymmetric, **kw).solve(x0, 12 * DT, X_SS,
+                                                   noise=False)
+    xs_q, xs_a = np.asarray(xs_q), np.asarray(xs_a)
+    assert np.abs(xs_a[-1, :2] - X_SS[:2]).max() < 1.0  # still regulates
+    assert np.abs(xs_a - xs_q).max() > 1e-3  # and the cost actually matters
+    # asymmetry shows up as less overshoot mass above the setpoint
+    over_q = np.clip(xs_q[:, :2] - X_SS[:2], 0, None).sum()
+    over_a = np.clip(xs_a[:, :2] - X_SS[:2], 0, None).sum()
+    assert over_a <= over_q + 1e-9
+    with pytest.raises(ValueError, match="costFunc"):
+        MPC(costFunc="cubic", **kw)
