@@ -137,7 +137,8 @@ class GP:
         if self.inducing is not None:
             from gpmpc_tpu.models import sparse
             self.hyper, self.nll = sparse.fit_sparse(self.Xn, self.Yn,
-                                                     self.Zn, self.cfg, key)
+                                                     self.Zn, self.cfg, key,
+                                                     mesh=self.mesh)
             if self.optimize_inducing:
                 # coordinate descent: Z-step on the summed bound with
                 # hypers fixed, then a warm-started hyper refit on the

@@ -150,7 +150,8 @@ def vfe_nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
 
 
 def fit_sparse(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
-               cfg: GPConfig, key: jax.Array) -> Tuple[GPHypers, jnp.ndarray]:
+               cfg: GPConfig, key: jax.Array,
+               mesh=None) -> Tuple[GPHypers, jnp.ndarray]:
     """Train all Ny sparse GPs (multistart L-BFGS on the VFE bound) — the
     sparse counterpart of ``gp_core.fit`` [SURVEY C4], same one-program
     (multistart x output-dim) grid.
@@ -172,8 +173,9 @@ def fit_sparse(x: jnp.ndarray, y: jnp.ndarray, z_ind: jnp.ndarray,
     n = x.shape[0]
     sub = select_inducing(x, min(n, 256))
     k_warm, key = jax.random.split(key)
-    warm, _ = gp_core.fit(x[sub], y[sub], cfg, k_warm)
-    return gp_core.fit(x, y, cfg, key, nll_fn=nll_fn, extra_starts=warm)
+    warm, _ = gp_core.fit(x[sub], y[sub], cfg, k_warm, mesh=mesh)
+    return gp_core.fit(x, y, cfg, key, nll_fn=nll_fn, extra_starts=warm,
+                       mesh=mesh)
 
 
 def optimize_inducing(x: jnp.ndarray, y: jnp.ndarray, z0: jnp.ndarray,

@@ -214,3 +214,25 @@ def test_sparse_gp_mpc_closed_loop():
     err = np.abs(xs[-1, :2] - x_ss[:2])
     assert np.all(np.isfinite(xs))
     assert np.all(err < 1.0), f"sparse GP-MPC final level error {err}"
+
+
+@pytest.mark.slow
+def test_sparse_mesh_fit_matches_local(toy):
+    """fit_sparse(mesh=...) shards the VFE multistart grid and must equal
+    the local sparse fit exactly."""
+    from jax.sharding import Mesh
+    from gpmpc_tpu.models import sparse
+
+    x, y = toy[0], toy[1]
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("dp",))
+    z = x[sparse.select_inducing(x, 12)]
+    cfg = GPConfig(multistart=2, max_iters=30)
+    h_l, v_l = sparse.fit_sparse(x, y, z, cfg, jax.random.PRNGKey(5))
+    h_m, v_m = sparse.fit_sparse(x, y, z, cfg, jax.random.PRNGKey(5),
+                                 mesh=mesh)
+    for a, b in zip(h_l, h_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_l), np.asarray(v_m),
+                               rtol=0, atol=1e-10)
