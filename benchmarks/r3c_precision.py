@@ -59,20 +59,23 @@ def _tank_setup():
     return model, gp, dtype
 
 
-def tank_section():
+def tank_section(smoke=False):
     import bench as B
     from benchmarks.bench_spec import DT, X0, XSP, closed_loop_cost
 
     model, gp, dtype = _tank_setup()
     x0 = jnp.asarray(X0, dtype)
     x_sp = jnp.asarray(XSP, dtype)
+    n_cost = 10 if smoke else 140
+    k_s, k_l = (4, 10) if smoke else (140, 1140)
+    reps, ests = (1, 1) if smoke else (4, 3)
 
     # full-fidelity converged anchor (the bench quality yardstick)
     mpc_anchor = B.build_mpc(model, gp, dtype,
                              dict(al_iters=4, max_iters=20, fused_kkt=True))
-    xs_a, us_a = mpc_anchor.solve(x0, 140 * DT, x_sp, noise=False)
+    xs_a, us_a = mpc_anchor.solve(x0, n_cost * DT, x_sp, noise=False)
     cost_anchor = closed_loop_cost(xs_a, us_a, x_sp)
-    print(f"[tank] anchor (al4/mi20, highest) cost140={cost_anchor:9.2f}",
+    print(f"[tank] anchor (al4/mi20, highest) cost={cost_anchor:9.2f}",
           flush=True)
 
     rti = dict(al_iters=2, max_iters=4, ls_steps=8, penalty_init=1e3,
@@ -84,15 +87,15 @@ def tank_section():
             return mpc.solve(x0, k * DT, x_sp, noise=False)[0]
 
         slopes = []
-        for _ in range(3):
-            t_s, _ = timed(run, 140, reps=4)
-            t_l, _ = timed(run, 1140, reps=4)
-            slopes.append((t_l - t_s) / 1000.0 * 1e3)
-        xs, us = mpc.solve(x0, 140 * DT, x_sp, noise=False)
+        for _ in range(ests):
+            t_s, _ = timed(run, k_s, reps=reps)
+            t_l, _ = timed(run, k_l, reps=reps)
+            slopes.append((t_l - t_s) / (k_l - k_s) * 1e3)
+        xs, us = mpc.solve(x0, n_cost * DT, x_sp, noise=False)
         cost = closed_loop_cost(xs, us, x_sp)
         print(f"[tank] rti prec={str(prec):8s} "
               f"ms/solve={float(np.median(slopes)):7.4f}  "
-              f"cost140={cost:9.2f}  ratio={cost / cost_anchor:7.4f}",
+              f"cost={cost:9.2f}  ratio={cost / cost_anchor:7.4f}",
               flush=True)
 
 
@@ -112,7 +115,7 @@ def car_section():
               f"feasible={out['car_feasible']}", flush=True)
 
 
-def study_section():
+def study_section(smoke=False):
     from gpmpc_tpu.parallel.batched import BatchedStudy
     from gpmpc_tpu import Model
     from gpmpc_tpu.systems import four_tank_ode
@@ -123,7 +126,7 @@ def study_section():
                   R=MODEL_R, clip_negative=True, dtype=dtype,
                   integrator_substeps=10, fused_integrator=False)
     x_sp = jnp.asarray([12.4, 12.7, 1.8, 1.4], dtype)
-    b = 1024
+    b = 16 if smoke else 1024
     x0s = (jnp.asarray([8.0, 9.0, 1.0, 1.0], dtype)[None]
            + 0.5 * jax.random.uniform(jax.random.PRNGKey(0), (b, 4),
                                       dtype=dtype))
@@ -139,8 +142,8 @@ def study_section():
             return study.run(x0s, x_sp, n_steps=n, noise=True,
                              key=jax.random.PRNGKey(1)).cost
 
-        t4, _ = timed(run, 4, reps=3)
-        t12, c12 = timed(run, 12, reps=3)
+        t4, _ = timed(run, 4, reps=1 if smoke else 3)
+        t12, c12 = timed(run, 12, reps=1 if smoke else 3)
         per_step = (t12 - t4) / 8.0
         print(f"[study] prec={str(prec):8s} B={b}  "
               f"{per_step * 1e3:7.2f} ms/step  "
@@ -152,10 +155,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
                     choices=["tank", "car", "study", "all"])
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes/reps to validate the script (CPU)")
+    ap.add_argument("--cpu", action="store_true")
     a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if a.section in ("tank", "all"):
-        tank_section()
+        tank_section(smoke=a.smoke)
     if a.section in ("car", "all"):
         car_section()
     if a.section in ("study", "all"):
-        study_section()
+        study_section(smoke=a.smoke)
