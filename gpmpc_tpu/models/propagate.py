@@ -205,17 +205,73 @@ def propagate_em(post: gp_core.GPPosterior, norm: Normalization,
     return mu, sigma, c
 
 
+# ------------------------------------------------------------------ UT
+
+def propagate_ut(post: gp_core.GPPosterior, norm: Normalization,
+                 cfg: GPConfig, mu_z: jnp.ndarray, cov_z: jnp.ndarray,
+                 *, alpha: float = 1.0, beta: float = 2.0,
+                 kappa: float = 0.0
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unscented-transform propagation (sigma points through the GP mean).
+
+    Beyond the reference's ME/TA/EM set [SURVEY C3]: the standard GP-UKF
+    scheme (Ko & Fox 2009) — deterministic sigma points of the input
+    Gaussian pushed through the posterior mean, with the GP's own
+    predictive variance folded in as the sigma-point-weighted process
+    noise.  Exact for GP means up to odd third-order input terms (one
+    order beyond TA's linearization), at 2D+1 mean/variance evaluations
+    per step instead of EM's O(N^2) pairwise forms — the middle point of
+    the accuracy/cost frontier, and unlike EM it supports all mean
+    functions.
+
+    Default scaling (alpha=1, kappa=0, beta=2) keeps every covariance
+    weight nonnegative, so ``Sigma_y`` is PSD by construction — the
+    property the MPC's chance tightening needs along the horizon.
+
+    Vs TA on a near-linear mean: the deviation terms coincide with
+    J Sigma_z J^T, but the additive GP-variance term is the sigma-point
+    average E[var(z)] (law of total variance) rather than TA's var(mu_z)
+    — second-order-different, and the better estimate of the two.
+    """
+    d = mu_z.shape[0]
+    dtype = mu_z.dtype
+    lam = alpha * alpha * (d + kappa) - d
+    # matrix square root of (d+lam) Sigma_z; the jitter floor keeps the
+    # factorization (and its jacfwd derivative inside the solver trace)
+    # defined at Sigma_z = 0, the t=0 stage of every rollout
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
+    root = chol_small((d + lam) * cov_z + eps * jnp.eye(d, dtype=dtype))
+    offsets = jnp.concatenate(
+        [jnp.zeros((1, d), dtype), root.T, -root.T], axis=0)  # (2D+1, D)
+    pts = mu_z[None, :] + offsets
+    w_m = jnp.concatenate(
+        [jnp.full((1,), lam / (d + lam), dtype),
+         jnp.full((2 * d,), 0.5 / (d + lam), dtype)])
+    w_c = w_m.at[0].add(1.0 - alpha * alpha + beta)
+
+    mus, vars_ = jax.vmap(
+        lambda z: _raw_mean_var(post, norm, cfg, z))(pts)   # (2D+1, Ny)
+    mu = w_m @ mus
+    dev = mus - mu[None, :]                                 # (2D+1, Ny)
+    sigma = (dev * w_c[:, None]).T @ dev + jnp.diag(w_m @ vars_)
+    c = (offsets * w_c[:, None]).T @ dev                    # (D, Ny)
+    return mu, sigma, c
+
+
 PROPAGATORS = {
     "ME": propagate_me,
     "TA": propagate_ta,
     "EM": propagate_em,
+    "UT": propagate_ut,
 }
 
 
 def get_propagator(method: str):
-    """Select the propagation scheme [SURVEY C5 ``set_method('ME'|'TA'|'EM')``]."""
+    """Select the propagation scheme [SURVEY C5 ``set_method('ME'|'TA'|'EM')``;
+    'UT' is a beyond-reference addition]."""
     try:
         return PROPAGATORS[method.upper()]
     except KeyError:
         raise ValueError(
-            f"unknown gp_method {method!r}; expected ME, TA, or EM") from None
+            f"unknown gp_method {method!r}; expected ME, TA, EM, or UT"
+        ) from None

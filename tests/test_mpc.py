@@ -370,3 +370,40 @@ def test_custom_cost_callable(tank_model):
     assert over_a <= over_q + 1e-9
     with pytest.raises(ValueError, match="costFunc"):
         MPC(costFunc="cubic", **kw)
+
+
+@pytest.mark.slow
+def test_mpc_gp_ut_closed_loop(tank_model, tank_gp):
+    """Beyond-reference: unscented-transform propagation inside the NLP —
+    the sigma-point step must trace/differentiate through the solver, keep
+    covariances PSD along the rollout, and the chance tightening must bite
+    like TA's (same monotone-margin property)."""
+    kwargs = dict(
+        horizon=5 * DT, model=tank_model, gp=tank_gp,
+        discrete_method="gp",
+        Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+        ulb=[0.0, 0.0], uub=[8.0, 8.0],
+        xlb=[0.5, 0.5, 0.1, 0.1], xub=[13.0, 25.0, 8.0, 8.0],
+        feedback=True, cov_updates=2)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    x_sp = np.array([12.8, 12.7, 1.8, 1.4])
+
+    mpc_plain = MPC(gp_method="UT", percentile=None, **kwargs)
+    xs_plain, _ = mpc_plain.solve(x0=x0, sim_time=10 * DT, x_sp=x_sp,
+                                  noise=False)
+    mpc_tight = MPC(gp_method="UT", percentile=0.99, **kwargs)
+    xs_tight, _ = mpc_tight.solve(x0=x0, sim_time=10 * DT, x_sp=x_sp,
+                                  noise=False)
+
+    xs_tight_np = np.asarray(xs_tight)
+    assert np.all(np.isfinite(xs_tight_np))
+    # regulation: both runs end near the setpoint
+    err = np.abs(xs_tight_np[-1, :2] - x_sp[:2])
+    assert np.all(err < 1.0), f"final level error {err}"
+    h1_plain = float(np.max(np.asarray(xs_plain)[:, 0]))
+    h1_tight = float(np.max(xs_tight_np[:, 0]))
+    assert h1_tight <= 13.0 + 1e-6
+    assert h1_tight < h1_plain + 1e-9
+    sig = mpc_tight.last_run["sigmas"]
+    eigs = np.linalg.eigvalsh(sig)
+    assert eigs.min() > -1e-9

@@ -123,3 +123,87 @@ def test_em_with_normalization_consistency():
                                want_sig * np.outer(y_std, y_std), atol=1e-9)
     np.testing.assert_allclose(np.asarray(c),
                                want_c * np.outer(z_std, y_std), atol=1e-9)
+
+
+# ------------------------------------------------------------------ UT
+
+def test_ut_reduces_to_me_at_zero_input_cov():
+    """With Sigma_z = 0 every sigma point collapses onto the mean: UT must
+    reproduce the deterministic predict (up to the jitter floor)."""
+    from gpmpc_tpu.models.propagate import propagate_ut
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup()
+    d = len(m)
+    mu_me, sig_me, _ = propagate_me(post, norm, cfg, jnp.array(m),
+                                    jnp.zeros((d, d)))
+    mu, sig, c = propagate_ut(post, norm, cfg, jnp.array(m),
+                              jnp.zeros((d, d)))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_me), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_me), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), 0.0, atol=1e-6)
+
+
+def test_ut_against_monte_carlo():
+    """UT is a third-order-accurate deterministic quadrature: on a smooth GP
+    posterior with a moderate input Gaussian its moments must land close to
+    the MC ground truth (looser bars than EM's — UT is approximate)."""
+    from gpmpc_tpu.models.propagate import propagate_ut
+    import jax
+    from gpmpc_tpu.models import gp_core as gc
+
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup(ny=2)
+    mu, sig, c = propagate_ut(post, norm, cfg, jnp.array(m), jnp.array(s))
+
+    zs = RNG.multivariate_normal(m, s, size=200_000)
+    mu_s, var_s = jax.vmap(lambda z: gc.predict(post, z, cfg))(jnp.array(zs))
+    mus, vars_ = np.asarray(mu_s), np.asarray(var_s)
+    mc_mean = mus.mean(axis=0)
+    mc_cov = np.diag(vars_.mean(axis=0)) + np.cov(mus.T)
+    mc_cross = np.stack([
+        [np.cov(zs[:, i], mus[:, a])[0, 1] for a in range(2)]
+        for i in range(zs.shape[1])])
+
+    scale = np.sqrt(np.diag(mc_cov))
+    np.testing.assert_allclose(np.asarray(mu), mc_mean, atol=0.15 * scale.max())
+    np.testing.assert_allclose(np.asarray(sig), mc_cov,
+                               atol=0.25 * float(mc_cov.max()))
+    np.testing.assert_allclose(np.asarray(c), mc_cross,
+                               atol=0.25 * float(np.abs(mc_cross).max()))
+    # and it must be strictly tighter than pretending the input is exact (ME)
+    mu_me, sig_me, _ = propagate_me(post, norm, cfg, jnp.array(m),
+                                    jnp.array(s))
+    err_ut = np.abs(np.asarray(sig) - mc_cov).max()
+    err_me = np.abs(np.asarray(sig_me) - mc_cov).max()
+    assert err_ut < err_me
+
+
+def test_ut_sigma_psd_and_matches_ta_on_near_linear_mean():
+    """All default UT covariance weights are nonnegative -> Sigma_y PSD; and
+    on a nearly-linear posterior mean (long lengthscales) UT and TA must
+    agree (both reduce to the exact linear-Gaussian push-through)."""
+    from gpmpc_tpu.models.propagate import propagate_ut
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup()
+    # long lengthscales => near-linear mean over the input Gaussian's support
+    ny, d = ells.shape
+    ells_long = np.full((ny, d), 25.0)
+    hyp = gp_core.GPHypers(jnp.log(jnp.array(ells_long)),
+                           jnp.log(jnp.array(sf2s)),
+                           jnp.log(jnp.array(sn2s)), jnp.zeros((ny, 0)))
+    post_l = gp_core.posterior(jnp.array(x), jnp.array(y), hyp, cfg)
+
+    mu_ut, sig_ut, c_ut = propagate_ut(post_l, norm, cfg, jnp.array(m),
+                                       jnp.array(s))
+    mu_ta, sig_ta, c_ta = propagate_ta(post_l, norm, cfg, jnp.array(m),
+                                       jnp.array(s))
+    # UT's mean carries a second-order curvature correction TA's lacks;
+    # with ell=25 that term is ~1e-4 relative, not zero
+    np.testing.assert_allclose(np.asarray(mu_ut), np.asarray(mu_ta),
+                               rtol=1e-3, atol=1e-7)
+    # sigma: the J Sigma J^T part coincides; the additive GP-variance term
+    # is E[var] under UT vs var(mean) under TA — an O(1e-4) absolute gap
+    # here (UT's is the law-of-total-variance estimate)
+    np.testing.assert_allclose(np.asarray(sig_ut), np.asarray(sig_ta),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c_ut), np.asarray(c_ta),
+                               rtol=2e-3, atol=1e-7)
+    evals = np.linalg.eigvalsh(np.asarray(sig_ut))
+    assert evals.min() > -1e-10
