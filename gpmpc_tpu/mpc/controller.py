@@ -2,7 +2,7 @@
 
 TPU-native rebuild of ``gp_mpc/mpc_class.py::MPC`` [SURVEY C6].  Same
 capability surface — multiple-shooting NLP over the horizon, mean + covariance
-propagation (ME/TA/EM), chance-constraint tightening, linear state feedback,
+propagation (ME/TA/EM/UT), chance-constraint tightening, linear state feedback,
 expected quadratic / saturating costs, delta-u penalties, soft state
 constraints, pluggable inequality constraints with per-solve runtime
 parameters, four discretization modes (gp | rk4 | exact | hybrid) — but a
