@@ -37,7 +37,8 @@ _jax.config.update("jax_default_matmul_precision",
 from gpmpc_tpu.models.dynamics import Model
 from gpmpc_tpu.models.gp import GP
 from gpmpc_tpu.mpc.controller import MPC
+from gpmpc_tpu.mpc.mhe import MHE
 
 __version__ = "0.1.0"
 
-__all__ = ["Model", "GP", "MPC", "__version__"]
+__all__ = ["Model", "GP", "MPC", "MHE", "__version__"]

@@ -1,0 +1,190 @@
+"""Moving-horizon estimation (beyond-reference component).
+
+The load-bearing check: for a linear system with Gaussian noise and the
+matching prior, the full-window MHE MAP estimate IS the Kalman/RTS smoother
+— an independent closed-form oracle (implemented here in NumPy) the NLP
+solution must reproduce to solver tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpmpc_tpu import MHE, Model
+
+RNG = np.random.default_rng(7)
+
+
+def _linear_model(nx=3, nu=1, dt=0.1):
+    # stable continuous-time linear system; rk4 of a linear ODE is an exact
+    # linear discrete map (4th-order Taylor of expm), probed via jacfwd
+    ac = np.array([[-0.6, 0.3, 0.0],
+                   [0.0, -0.4, 0.2],
+                   [0.1, 0.0, -0.5]])[:nx, :nx]
+    bc = np.array([[0.5], [0.0], [0.3]])[:nx, :nu]
+
+    def ode(x, u):
+        return jnp.asarray(ac) @ x + jnp.asarray(bc) @ u
+
+    model = Model(Nx=nx, Nu=nu, ode=ode, dt=dt, R=np.eye(nx) * 1e-4,
+                  dtype=jnp.float64)
+    ad = np.asarray(jax.jacfwd(lambda x: model.rk4(x, jnp.zeros(nu)))(
+        jnp.zeros(nx)))
+    bd = np.asarray(jax.jacfwd(lambda u: model.rk4(jnp.zeros(nx), u))(
+        jnp.zeros(nu)))
+    return model, ad, bd
+
+
+def _rts_smoother(ad, bd, c, q, r, x_bar, p0, ys, us):
+    """Kalman filter + Rauch-Tung-Striebel smoother (NumPy oracle)."""
+    t_total = ys.shape[0]
+    nx = ad.shape[0]
+    x_f = np.zeros((t_total, nx))
+    p_f = np.zeros((t_total, nx, nx))
+    x_p = np.zeros((t_total, nx))
+    p_p = np.zeros((t_total, nx, nx))
+    x_pred, p_pred = x_bar.copy(), p0.copy()
+    for k in range(t_total):
+        x_p[k], p_p[k] = x_pred, p_pred
+        s = c @ p_pred @ c.T + r
+        kg = p_pred @ c.T @ np.linalg.inv(s)
+        x_f[k] = x_pred + kg @ (ys[k] - c @ x_pred)
+        p_f[k] = (np.eye(nx) - kg @ c) @ p_pred
+        if k < t_total - 1:
+            x_pred = ad @ x_f[k] + bd @ us[k]
+            p_pred = ad @ p_f[k] @ ad.T + q
+    x_s = x_f.copy()
+    for k in range(t_total - 2, -1, -1):
+        g = p_f[k] @ ad.T @ np.linalg.inv(p_p[k + 1])
+        x_s[k] = x_f[k] + g @ (x_s[k + 1] - x_p[k + 1])
+    return x_s, x_f
+
+
+def _simulate(ad, bd, c, q, r, x0, t_total, rng):
+    nx, nu = bd.shape
+    us = rng.uniform(-1.0, 1.0, size=(t_total - 1, nu))
+    xs = np.zeros((t_total, nx))
+    xs[0] = x0
+    for k in range(t_total - 1):
+        w = rng.multivariate_normal(np.zeros(nx), q)
+        xs[k + 1] = ad @ xs[k] + bd @ us[k] + w
+    vs = rng.multivariate_normal(np.zeros(c.shape[0]), r, size=t_total)
+    ys = xs @ c.T + vs
+    return xs, us, ys
+
+
+def test_mhe_equals_rts_smoother_linear_gaussian():
+    """Full-window MHE on a linear-Gaussian problem == RTS smoother."""
+    model, ad, bd = _linear_model()
+    nx = 3
+    c = np.array([[1.0, 0.0, 0.0],
+                  [0.0, 1.0, 0.0]])          # partial measurement
+    q = 1e-3 * np.eye(nx)
+    r = np.diag([4e-2, 1e-2])
+    p0 = 0.5 * np.eye(nx)
+    x_bar = np.array([0.2, -0.1, 0.3])
+    m = 8
+
+    x0_true = x_bar + RNG.multivariate_normal(np.zeros(nx), p0) * 0.3
+    xs_true, us, ys = _simulate(ad, bd, c, q, r, x0_true, m + 1, RNG)
+
+    mhe = MHE(model, window=m, Q_noise=q, R_meas=r, P_arrival=p0,
+              h=lambda x: jnp.asarray(c) @ x, discrete_method="rk4",
+              solver_opts=dict(max_iters=50, tol_stat=1e-12))
+    xs_est, res = mhe.estimate(ys, us, x_bar, return_result=True)
+    assert bool(res.converged)
+
+    x_smooth, _ = _rts_smoother(ad, bd, c, q, r, x_bar, p0, ys, us)
+    np.testing.assert_allclose(np.asarray(xs_est), x_smooth,
+                               atol=1e-7, rtol=1e-7)
+
+
+def test_mhe_online_filter_denoises_and_tracks():
+    """Online run(): after the fill-in transient the filtered estimates beat
+    the raw measurements and track the truth; converged throughout."""
+    model, ad, bd = _linear_model()
+    nx = 3
+    c = np.eye(nx)                            # full noisy state measurement
+    q = 1e-4 * np.eye(nx)
+    r = 2.5e-3 * np.eye(nx)
+    t_total = 40
+    x0 = np.array([0.5, -0.3, 0.2])
+    xs_true, us, ys = _simulate(ad, bd, c, q, r, x0, t_total, RNG)
+
+    mhe = MHE(model, window=6, Q_noise=q, R_meas=r,
+              P_arrival=0.1 * np.eye(nx), discrete_method="rk4")
+    x_hats = np.asarray(mhe.run(x0, ys, us))
+    assert x_hats.shape == (t_total, nx)
+    assert np.all(np.isfinite(x_hats))
+    assert mhe.last_converged.all()
+
+    tail = slice(10, None)                    # past the fill-in transient
+    err_est = np.sqrt(np.mean((x_hats[tail] - xs_true[tail]) ** 2))
+    err_meas = np.sqrt(np.mean((ys[tail] - xs_true[tail]) ** 2))
+    assert err_est < 0.6 * err_meas, (err_est, err_meas)
+
+
+def test_mhe_respects_state_bounds():
+    """Estimates stay inside the declared box even when measurements leave
+    it — the constrained-estimation property EKF/UKF lack."""
+    model, ad, bd = _linear_model()
+    nx = 3
+    q = 1e-4 * np.eye(nx)
+    r = 1e-2 * np.eye(nx)
+    m = 6
+    # truth rides near the x1 <= 0.3 bound; noisy measurements cross it
+    x0 = np.array([0.29, 0.0, 0.0])
+    xs_true, us, ys = _simulate(ad, bd, np.eye(nx), q, r, x0, m + 1, RNG)
+    ys[:, 0] += 0.15                          # biased sensor pushes past
+
+    mhe = MHE(model, window=m, Q_noise=q, R_meas=r,
+              P_arrival=0.1 * np.eye(nx),
+              xub=[0.3, 5.0, 5.0], xlb=[-5.0, -5.0, -5.0],
+              discrete_method="rk4",
+              solver_opts=dict(al_iters=8, max_iters=30,
+                               penalty_init=1e2))
+    xs_est = np.asarray(mhe.estimate(ys, us, x0))
+    assert np.all(np.isfinite(xs_est))
+    assert xs_est[:, 0].max() <= 0.3 + 1e-6, xs_est[:, 0]
+
+
+@pytest.mark.slow
+def test_mhe_four_tank_partial_measurement():
+    """Nonlinear plant: reconstruct the UNMEASURED upper-tank levels from
+    noisy lower-tank measurements only (observability through the ODE)."""
+    from gpmpc_tpu.systems import four_tank_ode
+
+    dt = 3.0
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=dt,
+                  R=np.diag([1e-4] * 4), clip_negative=True,
+                  dtype=jnp.float64, integrator_substeps=10)
+    c = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    r = np.diag([2.5e-3, 2.5e-3])
+    q = np.diag([1e-4] * 4)
+    t_total = 25
+    rng = np.random.default_rng(3)
+    x_true = np.array([8.0, 9.0, 2.0, 1.5])
+    us = rng.uniform(2.0, 4.0, size=(t_total - 1, 2))
+    xs_true = [x_true]
+    for k in range(t_total - 1):
+        xn = np.asarray(model.integrate(jnp.asarray(xs_true[-1]),
+                                        jnp.asarray(us[k])))
+        xs_true.append(xn + rng.multivariate_normal(np.zeros(4), q))
+    xs_true = np.stack(xs_true)
+    ys = xs_true @ c.T + rng.multivariate_normal(np.zeros(2), r,
+                                                 size=t_total)
+
+    mhe = MHE(model, window=8, Q_noise=q, R_meas=r,
+              P_arrival=np.diag([0.5] * 4),
+              h=lambda x: jnp.asarray(c) @ x,
+              xlb=[0.1] * 4, xub=[25.0] * 4,
+              discrete_method="rk4",
+              solver_opts=dict(al_iters=2, max_iters=30))
+    x_bar = np.array([8.0, 9.0, 1.0, 1.0])   # wrong prior on upper tanks
+    x_hats = np.asarray(mhe.run(x_bar, ys, us))
+    # unmeasured upper-tank levels recovered by the window's end
+    tail = slice(12, None)
+    err = np.abs(x_hats[tail, 2:] - xs_true[tail, 2:])
+    assert err.max() < 0.25, err.max()
+    assert np.all(x_hats >= 0.1 - 1e-9)
