@@ -23,3 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the full tier's wall time is dominated
+# by closed-loop compiles (each distinct loop length is its own program),
+# and the programs are identical across pytest invocations.  Measured on
+# tests/test_mhe.py: 74 s cold -> 41 s warm.  An externally-set
+# JAX_COMPILATION_CACHE_DIR wins over the default repo-local path.
+_cache = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache)
