@@ -404,7 +404,21 @@ class MPC:
             scope(lambda *a: self._solve_step(*a, cfg=self.init_sqp_cfg)))
         self._closed_loop_jit = jax.jit(
             scope(self._closed_loop), static_argnames=("n_steps", "noise"))
+
+        def _mc_loop(x0s, ref_windows, u0_guess, con_pars, noise_ws, consts,
+                     opost, n_steps, noise):
+            # vmap over (initial state, noise realization); everything else
+            # broadcasts.  opost broadcasts in and comes back batched — each
+            # Monte-Carlo lane conditions its own copy.
+            return jax.vmap(
+                lambda x0, w: self._closed_loop(
+                    x0, ref_windows, u0_guess, con_pars, w, consts, opost,
+                    n_steps=n_steps, noise=noise))(x0s, noise_ws)
+
+        self._solve_mc_jit = jax.jit(
+            scope(_mc_loop), static_argnames=("n_steps", "noise"))
         self._last_run = None
+        self._last_mc = None
 
     def _precision_scope(self, fn):
         """Trace ``fn`` under ``jax.default_matmul_precision(solve_precision)``
@@ -797,6 +811,93 @@ class MPC:
         xs = jnp.concatenate([xs, x_last[None]], axis=0)
         return xs, us, sig1s, infos, opost
 
+    def _prep_ref_windows(self, x_sp, n_steps):
+        """(Nx,) setpoint or (M, Nx) reference trajectory -> per-step preview
+        windows (n_steps, Nt+1, Nx) [SURVEY C6 + beyond-ref preview MPC]."""
+        x_sp = jnp.asarray(x_sp, self.dtype)
+        if x_sp.ndim == 1:
+            return jnp.broadcast_to(
+                x_sp[None, None, :], (n_steps, self.Nt + 1, self.Nx))
+        if x_sp.ndim != 2 or x_sp.shape[1] != self.Nx:
+            raise ValueError(
+                f"reference trajectory must be (M, Nx={self.Nx}); "
+                f"got {x_sp.shape}")
+        if x_sp.shape[0] < n_steps:
+            raise ValueError(
+                f"reference trajectory needs >= n_steps={n_steps} rows; "
+                f"got {x_sp.shape}")
+        idx = jnp.clip(jnp.arange(n_steps)[:, None]
+                       + jnp.arange(self.Nt + 1)[None, :],
+                       0, x_sp.shape[0] - 1)
+        return x_sp[idx]                           # (n_steps, Nt+1, Nx)
+
+    def _prep_con_pars(self, con_par_func, n_steps):
+        """Host-side precompute of per-step user-constraint parameters
+        (the reference calls con_par_func(k) per step [SURVEY C6])."""
+        if con_par_func is not None:
+            con_pars = jnp.asarray(
+                np.stack([np.asarray(con_par_func(k), dtype=np.float64)
+                          for k in range(n_steps)]), self.dtype)
+            return con_pars.reshape(n_steps, self.num_con_par)
+        return jnp.zeros((n_steps, self.num_con_par), self.dtype)
+
+    def _noise_chol(self):
+        return jnp.linalg.cholesky(
+            self.model.R + 1e-32 * jnp.eye(self.Nx, dtype=self.dtype))
+
+    def solve_mc(self, x0, sim_time, x_sp, n_mc: int, u0=None,
+                 con_par_func: Optional[Callable] = None,
+                 key: Optional[jax.Array] = None):
+        """Monte-Carlo ensemble of closed loops: ``n_mc`` independent
+        process-noise realizations of the SAME receding-horizon simulation,
+        vmapped into one compiled program (beyond-reference — the reference
+        runs one rollout per script invocation [SURVEY §2.3 'DP absent']).
+
+        ``x0`` is a single (Nx,) initial state shared by every rollout or a
+        per-rollout batch (n_mc, Nx).  Returns ``(x_sim (n_mc, M+1, Nx),
+        u_sim (n_mc, M, Nu))``; per-lane diagnostics land in ``last_mc``.
+
+        The main consumer is the empirical chance-constraint calibration
+        check (:mod:`gpmpc_tpu.utils.calibration`): the controller promises
+        per-state violation probability <= 1 - percentile, and this ensemble
+        is how that claim is audited on the actual closed loop.
+        """
+        n_steps = int(round(sim_time / self.dt))
+        x0 = jnp.asarray(x0, self.dtype)
+        x0s = (jnp.broadcast_to(x0[None], (n_mc, self.Nx))
+               if x0.ndim == 1 else x0)
+        if x0s.shape != (n_mc, self.Nx):
+            raise ValueError(f"x0 must be ({self.Nx},) or ({n_mc}, "
+                             f"{self.Nx}); got {x0.shape}")
+        ref_windows = self._prep_ref_windows(x_sp, n_steps)
+        u0_guess = (jnp.tile(jnp.asarray(u0, self.dtype)[None], (self.Nt, 1))
+                    if u0 is not None else None)
+        con_pars = self._prep_con_pars(con_par_func, n_steps)
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        noise_ws = (jax.random.normal(key, (n_mc, n_steps, self.Nx),
+                                      self.dtype)
+                    @ self._noise_chol().T)
+
+        opost = (self.online_post0 if self.online_capacity is not None
+                 else None)
+        xs, us, sig1s, infos, _ = self._solve_mc_jit(
+            x0s, ref_windows, u0_guess, con_pars, noise_ws, self.consts,
+            opost, n_steps=n_steps, noise=True)
+        xs.block_until_ready()
+        self._last_mc = {
+            "x_sim": np.asarray(xs), "u_sim": np.asarray(us),
+            "sigmas": np.asarray(sig1s),
+            "converged": np.asarray(infos.converged),
+            "x_sp": np.asarray(ref_windows[:, 0, :]),
+        }
+        return xs, us
+
+    @property
+    def last_mc(self):
+        return self._last_mc
+
     def solve(self, x0, sim_time, x_sp, u0=None, noise: bool = True,
               con_par_func: Optional[Callable] = None,
               key: Optional[jax.Array] = None):
@@ -814,42 +915,15 @@ class MPC:
         """
         n_steps = int(round(sim_time / self.dt))
         x0 = jnp.asarray(x0, self.dtype)
-        x_sp = jnp.asarray(x_sp, self.dtype)
-        if x_sp.ndim == 1:
-            ref_windows = jnp.broadcast_to(
-                x_sp[None, None, :], (n_steps, self.Nt + 1, self.Nx))
-        else:
-            if x_sp.ndim != 2 or x_sp.shape[1] != self.Nx:
-                raise ValueError(
-                    f"reference trajectory must be (M, Nx={self.Nx}); "
-                    f"got {x_sp.shape}")
-            if x_sp.shape[0] < n_steps:
-                raise ValueError(
-                    f"reference trajectory needs >= n_steps={n_steps} rows; "
-                    f"got {x_sp.shape}")
-            idx = jnp.clip(jnp.arange(n_steps)[:, None]
-                           + jnp.arange(self.Nt + 1)[None, :],
-                           0, x_sp.shape[0] - 1)
-            ref_windows = x_sp[idx]                # (n_steps, Nt+1, Nx)
+        ref_windows = self._prep_ref_windows(x_sp, n_steps)
         u0_guess = (jnp.tile(jnp.asarray(u0, self.dtype)[None], (self.Nt, 1))
                     if u0 is not None else None)
-
-        # host-side precompute of per-step user-constraint parameters
-        # (the reference calls con_par_func(k) per step [SURVEY C6])
-        if con_par_func is not None:
-            con_pars = jnp.asarray(
-                np.stack([np.asarray(con_par_func(k), dtype=np.float64)
-                          for k in range(n_steps)]), self.dtype)
-            con_pars = con_pars.reshape(n_steps, self.num_con_par)
-        else:
-            con_pars = jnp.zeros((n_steps, self.num_con_par), self.dtype)
+        con_pars = self._prep_con_pars(con_par_func, n_steps)
 
         if key is None:
             key = jax.random.PRNGKey(0)
-        chol_r = jnp.linalg.cholesky(
-            self.model.R + 1e-32 * jnp.eye(self.Nx, dtype=self.dtype))
         noise_w = (jax.random.normal(key, (n_steps, self.Nx), self.dtype)
-                   @ chol_r.T)
+                   @ self._noise_chol().T)
 
         opost = (self.online_post0 if self.online_capacity is not None
                  else None)
