@@ -847,7 +847,7 @@ class MPC:
 
     def solve_mc(self, x0, sim_time, x_sp, n_mc: int, u0=None,
                  con_par_func: Optional[Callable] = None,
-                 key: Optional[jax.Array] = None):
+                 key: Optional[jax.Array] = None, mesh=None):
         """Monte-Carlo ensemble of closed loops: ``n_mc`` independent
         process-noise realizations of the SAME receding-horizon simulation,
         vmapped into one compiled program (beyond-reference — the reference
@@ -861,6 +861,11 @@ class MPC:
         check (:mod:`gpmpc_tpu.utils.calibration`): the controller promises
         per-state violation probability <= 1 - percentile, and this ensemble
         is how that claim is audited on the actual closed loop.
+
+        ``mesh`` (a single-axis ``jax.sharding.Mesh`` named ``"dp"``) shards
+        the Monte-Carlo lanes over devices — same scaling recipe as
+        :class:`~gpmpc_tpu.parallel.batched.BatchedStudy` [SURVEY §2.3]:
+        annotate the batch axis, let XLA place the lanes.
         """
         n_steps = int(round(sim_time / self.dt))
         x0 = jnp.asarray(x0, self.dtype)
@@ -882,6 +887,11 @@ class MPC:
 
         opost = (self.online_post0 if self.online_capacity is not None
                  else None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = NamedSharding(mesh, P("dp"))
+            x0s = jax.device_put(x0s, dp)
+            noise_ws = jax.device_put(noise_ws, dp)
         xs, us, sig1s, infos, _ = self._solve_mc_jit(
             x0s, ref_windows, u0_guess, con_pars, noise_ws, self.consts,
             opost, n_steps=n_steps, noise=True)
