@@ -27,10 +27,19 @@ enter as AL inequality constraints — the classic reason to prefer MHE for
 constrained plants), and ``f`` can be any of the controller's discrete
 models including the learned GP ('rk4' | 'exact' | 'gp' | 'hybrid').
 
-The arrival weight ``P_arrival`` is held fixed across windows (the common
-fixed-prior simplification; an EKF-style covariance update is not carried
-— for linear-Gaussian problems with the matching prior the full-window
-estimate is exact regardless, see ``tests/test_mhe.py``).
+Two arrival-cost policies:
+
+* ``arrival_update=False`` (default): ``P_arrival`` is held fixed across
+  windows (the common fixed-prior simplification; for linear-Gaussian
+  problems with the matching prior the FULL-window estimate is exact
+  regardless, see ``tests/test_mhe.py``), and the next window's prior mean
+  is the smoothed estimate of its start state.
+* ``arrival_update=True``: the prior is propagated by an EKF recursion as
+  each measurement leaves the window (condition on the departing
+  measurement, predict through the dynamics — the filtered arrival cost of
+  Rao & Rawlings).  On linear-Gaussian problems this makes the SHORT-window
+  filter exactly the Kalman filter (tested); on nonlinear problems the
+  jacobians are anchored at the window's smoothed start estimate.
 """
 
 from __future__ import annotations
@@ -78,6 +87,7 @@ class MHEParams(NamedTuple):
     x_bar: jnp.ndarray            # (Nx,) arrival prior mean
     us: jnp.ndarray               # (M, Nu) applied inputs in the window
     ys: jnp.ndarray               # (M+1, Nm) measurements at window states
+    p_inv: jnp.ndarray            # (Nx, Nx) arrival information this window
     consts: MHEConsts
 
 
@@ -87,6 +97,9 @@ class MHEState(NamedTuple):
     y_buf: jnp.ndarray            # (M+1, Nm)
     u_buf: jnp.ndarray            # (M, Nu)
     x_bar: jnp.ndarray            # (Nx,) prior for the window-start state
+    p: jnp.ndarray                # (Nx, Nx) prior covariance (used by the
+                                  # EKF recursion when arrival_update=True;
+                                  # carried but constant otherwise)
     solver: al_sqp.SolverState    # warm start
 
 
@@ -113,6 +126,10 @@ class MHE:
         Bounds on the state estimates (MHE's advantage over EKF/UKF).
     discrete_method : str
         'rk4' | 'exact' | 'gp' | 'hybrid' — same semantics as the MPC.
+    arrival_update : bool
+        Propagate the arrival prior (mean + covariance) by an EKF
+        recursion as measurements leave the window (filtered arrival
+        cost); default keeps the fixed-``P_arrival`` policy.
     """
 
     def __init__(self, model, gp: Optional[GP] = None, *, window: int = 10,
@@ -121,6 +138,7 @@ class MHE:
                  xlb=None, xub=None,
                  discrete_method: str = "rk4",
                  hybrid_Bd=None,
+                 arrival_update: bool = False,
                  solver_opts: Optional[dict] = None):
         if window < 1:
             raise ValueError("window must be >= 1")
@@ -152,6 +170,8 @@ class MHE:
         r = _as_cov(R_meas, self.Nm, dtype)
         p = (_as_cov(P_arrival, self.Nx, dtype) if P_arrival is not None
              else 10.0 * q)
+        self.arrival_update = bool(arrival_update)
+        self._q_mat, self._r_mat, self._p0 = q, r, p
 
         xlb = (jnp.full((self.Nx,), -_BIG, dtype) if xlb is None
                else jnp.asarray(xlb, dtype))
@@ -216,7 +236,7 @@ class MHE:
 
         def stage_cost(z, v, t, params: MHEParams):
             c = params.consts
-            w_inf = jnp.where(t == 0, c.p_inv, c.q_inv)
+            w_inf = jnp.where(t == 0, params.p_inv, c.q_inv)
             cost = 0.5 * v @ w_inf @ v
             # measurement at window state x_{t-1} = z_t (none at the
             # virtual stage 0, where z is the prior mean)
@@ -248,10 +268,12 @@ class MHE:
             terminal_cost=terminal_cost,
             stage_ineq=stage_ineq, n_ineq=n_ineq)
 
-    def _params(self, x_bar, us, ys) -> MHEParams:
+    def _params(self, x_bar, us, ys, p_inv=None) -> MHEParams:
         return MHEParams(x_bar=jnp.asarray(x_bar, self.dtype),
                          us=jnp.asarray(us, self.dtype),
                          ys=jnp.asarray(ys, self.dtype),
+                         p_inv=(self.consts.p_inv if p_inv is None
+                                else p_inv),
                          consts=self.consts)
 
     def _solve(self, params: MHEParams, init: al_sqp.SolverState):
@@ -288,7 +310,29 @@ class MHE:
         params = self._params(x_bar, u_buf, y_buf)
         solver = al_sqp.init_state(self._prob, x_bar, params=params)
         return MHEState(y_buf=y_buf, u_buf=u_buf, x_bar=x_bar,
-                        solver=solver)
+                        p=self._p0, solver=solver)
+
+    def start_filter(self, x_bar, ys, us, p=None) -> MHEState:
+        """Start the online filter from a FULL recorded window instead of
+        the repeated-``y0`` fill-in: ``ys (M+1, Nm)`` measurements at the
+        window states, ``us (M, Nu)`` inputs between them, ``x_bar`` prior
+        on the window-start state, optional prior covariance ``p``
+        (defaults to ``P_arrival``).  Solves the window once so the stored
+        prior and warm start already refer to the NEXT window (the slide
+        :meth:`step` performs); the first :meth:`step` then has no
+        transient."""
+        x_bar = jnp.asarray(x_bar, self.dtype)
+        y_buf = jnp.asarray(ys, self.dtype).reshape(self.M + 1, self.Nm)
+        u_buf = jnp.asarray(us, self.dtype).reshape(self.M, self.Nu)
+        p = self._p0 if p is None else _as_cov(p, self.Nx, self.dtype)
+        p_inv = jnp.linalg.inv(p) if self.arrival_update else None
+        params = self._params(x_bar, u_buf, y_buf, p_inv=p_inv)
+        init = al_sqp.init_state(self._prob, x_bar, params=params)
+        res = self._solve_jit(params, init)
+        x_bar_next, p_next = self._advance_prior(x_bar, p, res,
+                                                 y_buf, u_buf)
+        return MHEState(y_buf=y_buf, u_buf=u_buf, x_bar=x_bar_next,
+                        p=p_next, solver=res.state)
 
     def _step(self, state: MHEState, y_new, u_applied):
         """Advance one measurement step: ``u_applied`` was applied since the
@@ -296,15 +340,42 @@ class MHE:
         state and the current-state estimate ``x_hat``."""
         y_buf = jnp.concatenate([state.y_buf[1:], y_new[None]], axis=0)
         u_buf = jnp.concatenate([state.u_buf[1:], u_applied[None]], axis=0)
-        params = self._params(state.x_bar, u_buf, y_buf)
+        p_inv = (jnp.linalg.inv(state.p) if self.arrival_update else None)
+        params = self._params(state.x_bar, u_buf, y_buf, p_inv=p_inv)
         warm = al_sqp.shift_state(state.solver, state.x_bar)
         res = self._solve(params, warm)
-        # next window starts one state later: its prior is this window's
-        # smoothed estimate of x_{k-M+1} (NLP state index 2)
-        x_bar_next = res.state.x[2]
+        x_bar_next, p_next = self._advance_prior(state.x_bar, state.p, res,
+                                                 y_buf, u_buf)
         new = MHEState(y_buf=y_buf, u_buf=u_buf, x_bar=x_bar_next,
-                       solver=res.state)
+                       p=p_next, solver=res.state)
         return new, (res.state.x[-1], res)
+
+    def _advance_prior(self, x_bar, p, res, y_buf, u_buf):
+        """Prior (mean, covariance) for the NEXT window's start state, given
+        this window's solve ``res`` over buffers ``(y_buf, u_buf)`` whose
+        start state carried prior ``(x_bar, p)``."""
+        if not self.arrival_update:
+            # fixed-prior policy: the smoothed estimate of the next window's
+            # start state (NLP state index 2), covariance untouched
+            return res.state.x[2], p
+        # EKF recursion on the departing information [module docstring]:
+        # condition the prior on this window's FIRST measurement (the one
+        # that leaves the window next step), then predict through the
+        # dynamics.  Prior mean rides the same recursion so it summarizes
+        # exactly y_{<= window start} — on linear-Gaussian problems the
+        # short-window filter equals the Kalman filter.
+        x_anchor = res.state.x[1]         # smoothed start (jacobian anchor)
+        c_jac = jax.jacfwd(self.h)(x_anchor)
+        s = c_jac @ p @ c_jac.T + self._r_mat
+        k_gain = jnp.linalg.solve(s, c_jac @ p).T            # P C' S^-1
+        x_filt = x_bar + k_gain @ (y_buf[0] - self.h(x_bar))
+        p_filt = p - k_gain @ s @ k_gain.T
+        u_dep = u_buf[0]                  # input window-start -> next state
+        a_jac = jax.jacfwd(
+            lambda xx: self._mean_dynamics(xx, u_dep))(x_anchor)
+        x_bar_next = self._mean_dynamics(x_filt, u_dep)
+        p_next = a_jac @ p_filt @ a_jac.T + self._q_mat
+        return x_bar_next, 0.5 * (p_next + p_next.T)
 
     def step(self, state: MHEState, y_new, u_applied):
         y_new = jnp.asarray(y_new, self.dtype)

@@ -188,3 +188,48 @@ def test_mhe_four_tank_partial_measurement():
     err = np.abs(x_hats[tail, 2:] - xs_true[tail, 2:])
     assert err.max() < 0.25, err.max()
     assert np.all(x_hats >= 0.1 - 1e-9)
+
+
+def test_mhe_arrival_update_equals_kalman_filter():
+    """With the EKF-propagated arrival cost (arrival_update=True, the
+    filtered arrival cost of Rao & Rawlings), a SHORT-window (M=2) MHE on a
+    linear-Gaussian problem reproduces the full-information Kalman filter at
+    every step — the prior carries everything the window has forgotten.
+    The fixed-prior policy cannot do this (checked as an ordering)."""
+    model, ad, bd = _linear_model()
+    nx, m = 3, 2
+    c = np.array([[1.0, 0.0, 0.0],
+                  [0.0, 1.0, 0.0]])          # partial measurement
+    q = 1e-4 * np.eye(nx)                    # == model.R
+    r = np.diag([2e-3, 4e-3])
+    p0 = 1e-2 * np.eye(nx)
+    x_bar0 = np.zeros(nx)
+    t_total = 18
+
+    x0_true = np.array([0.3, -0.2, 0.25])
+    xs_true, us, ys = _simulate(ad, bd, c, q, r, x0_true, t_total, RNG)
+
+    # NumPy full-information Kalman filter (the oracle)
+    _, x_filt = _rts_smoother(ad, bd, c, q, r, x_bar0, p0, ys, us)
+
+    def run_filter(arrival_update):
+        mhe = MHE(model, window=m, Q_noise=q, R_meas=r, P_arrival=p0,
+                  h=lambda x: jnp.asarray(c) @ x, discrete_method="rk4",
+                  arrival_update=arrival_update,
+                  solver_opts=dict(max_iters=50, tol_stat=1e-12))
+        # start from the real first window (no fill-in transient): states
+        # 0..m with prior (x_bar0, p0) on state 0
+        state = mhe.start_filter(x_bar0, ys[:m + 1], us[:m])
+        errs = []
+        for k in range(m + 1, t_total):
+            state, x_hat = mhe.step(state, ys[k], us[k - 1])
+            errs.append(np.abs(np.asarray(x_hat) - x_filt[k]).max())
+        return np.array(errs)
+
+    err_upd = run_filter(True)
+    err_fix = run_filter(False)
+    # exact agreement with the Kalman filter (solver tolerance)
+    assert err_upd.max() < 1e-6, err_upd.max()
+    # the fixed-prior short window is NOT the Kalman filter
+    assert err_fix.max() > 10 * max(err_upd.max(), 1e-12), (
+        err_fix.max(), err_upd.max())
