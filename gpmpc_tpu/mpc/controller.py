@@ -869,11 +869,12 @@ class MPC:
         """
         n_steps = int(round(sim_time / self.dt))
         x0 = jnp.asarray(x0, self.dtype)
-        x0s = (jnp.broadcast_to(x0[None], (n_mc, self.Nx))
-               if x0.ndim == 1 else x0)
-        if x0s.shape != (n_mc, self.Nx):
+        if (x0.ndim == 1 and x0.shape != (self.Nx,)) or x0.ndim > 2 or (
+                x0.ndim == 2 and x0.shape != (n_mc, self.Nx)):
             raise ValueError(f"x0 must be ({self.Nx},) or ({n_mc}, "
                              f"{self.Nx}); got {x0.shape}")
+        x0s = (jnp.broadcast_to(x0[None], (n_mc, self.Nx))
+               if x0.ndim == 1 else x0)
         ref_windows = self._prep_ref_windows(x_sp, n_steps)
         u0_guess = (jnp.tile(jnp.asarray(u0, self.dtype)[None], (self.Nt, 1))
                     if u0 is not None else None)

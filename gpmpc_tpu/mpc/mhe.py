@@ -100,6 +100,10 @@ class MHEState(NamedTuple):
     p: jnp.ndarray                # (Nx, Nx) prior covariance (used by the
                                   # EKF recursion when arrival_update=True;
                                   # carried but constant otherwise)
+    fill: jnp.ndarray             # scalar int: remaining fill-in steps whose
+                                  # departing buffer entries are synthetic
+                                  # (init_filter's repeated y0) — the EKF
+                                  # recursion must not condition on them
     solver: al_sqp.SolverState    # warm start
 
 
@@ -302,7 +306,10 @@ class MHE:
         """Start the online filter at the prior ``x_bar`` with the first
         measurement ``y0``.  The window buffers are pre-filled by repeating
         ``y0`` (zero inputs), so the first ~M estimates lean on the prior —
-        the standard fill-in transient."""
+        the standard fill-in transient.  With ``arrival_update=True`` the
+        EKF prior recursion starts only once the synthetic entries have
+        flushed out of the window (conditioning on them would double-count
+        ``y0``); use :meth:`start_filter` to skip the transient entirely."""
         x_bar = jnp.asarray(x_bar, self.dtype)
         y0 = jnp.asarray(y0, self.dtype)
         y_buf = jnp.tile(y0[None], (self.M + 1, 1))
@@ -310,7 +317,9 @@ class MHE:
         params = self._params(x_bar, u_buf, y_buf)
         solver = al_sqp.init_state(self._prob, x_bar, params=params)
         return MHEState(y_buf=y_buf, u_buf=u_buf, x_bar=x_bar,
-                        p=self._p0, solver=solver)
+                        p=self._p0,
+                        fill=jnp.asarray(self.M, jnp.int32),
+                        solver=solver)
 
     def start_filter(self, x_bar, ys, us, p=None) -> MHEState:
         """Start the online filter from a FULL recorded window instead of
@@ -325,14 +334,14 @@ class MHE:
         y_buf = jnp.asarray(ys, self.dtype).reshape(self.M + 1, self.Nm)
         u_buf = jnp.asarray(us, self.dtype).reshape(self.M, self.Nu)
         p = self._p0 if p is None else _as_cov(p, self.Nx, self.dtype)
-        p_inv = jnp.linalg.inv(p) if self.arrival_update else None
-        params = self._params(x_bar, u_buf, y_buf, p_inv=p_inv)
+        params = self._params(x_bar, u_buf, y_buf, p_inv=jnp.linalg.inv(p))
         init = al_sqp.init_state(self._prob, x_bar, params=params)
         res = self._solve_jit(params, init)
+        fill = jnp.asarray(0, jnp.int32)
         x_bar_next, p_next = self._advance_prior(x_bar, p, res,
-                                                 y_buf, u_buf)
+                                                 y_buf, u_buf, fill)
         return MHEState(y_buf=y_buf, u_buf=u_buf, x_bar=x_bar_next,
-                        p=p_next, solver=res.state)
+                        p=p_next, fill=fill, solver=res.state)
 
     def _step(self, state: MHEState, y_new, u_applied):
         """Advance one measurement step: ``u_applied`` was applied since the
@@ -345,18 +354,23 @@ class MHE:
         warm = al_sqp.shift_state(state.solver, state.x_bar)
         res = self._solve(params, warm)
         x_bar_next, p_next = self._advance_prior(state.x_bar, state.p, res,
-                                                 y_buf, u_buf)
+                                                 y_buf, u_buf, state.fill)
         new = MHEState(y_buf=y_buf, u_buf=u_buf, x_bar=x_bar_next,
-                       p=p_next, solver=res.state)
+                       p=p_next, fill=jnp.maximum(state.fill - 1, 0),
+                       solver=res.state)
         return new, (res.state.x[-1], res)
 
-    def _advance_prior(self, x_bar, p, res, y_buf, u_buf):
+    def _advance_prior(self, x_bar, p, res, y_buf, u_buf, fill):
         """Prior (mean, covariance) for the NEXT window's start state, given
         this window's solve ``res`` over buffers ``(y_buf, u_buf)`` whose
-        start state carried prior ``(x_bar, p)``."""
+        start state carried prior ``(x_bar, p)``.  ``fill`` > 0 means the
+        departing buffer entry is synthetic (init_filter's repeated-y0
+        transient): conditioning on it would count the first measurement
+        multiple times, so the fixed-prior advance is used until the
+        window holds only real data."""
+        # fixed-prior policy: the smoothed estimate of the next window's
+        # start state (NLP state index 2), covariance untouched
         if not self.arrival_update:
-            # fixed-prior policy: the smoothed estimate of the next window's
-            # start state (NLP state index 2), covariance untouched
             return res.state.x[2], p
         # EKF recursion on the departing information [module docstring]:
         # condition the prior on this window's FIRST measurement (the one
@@ -375,7 +389,10 @@ class MHE:
             lambda xx: self._mean_dynamics(xx, u_dep))(x_anchor)
         x_bar_next = self._mean_dynamics(x_filt, u_dep)
         p_next = a_jac @ p_filt @ a_jac.T + self._q_mat
-        return x_bar_next, 0.5 * (p_next + p_next.T)
+        p_next = 0.5 * (p_next + p_next.T)
+        in_fill = fill > 0
+        return (jnp.where(in_fill, res.state.x[2], x_bar_next),
+                jnp.where(in_fill, p, p_next))
 
     def step(self, state: MHEState, y_new, u_applied):
         y_new = jnp.asarray(y_new, self.dtype)

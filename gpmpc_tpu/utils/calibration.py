@@ -13,12 +13,15 @@ whole Monte-Carlo ensemble is ONE vmapped XLA program
 ``chance_calibration`` runs ``n_mc`` noisy closed loops and reports, per
 state dimension:
 
-* ``rate``: violation frequency pooled over all lanes and steps.  If the
-  per-step claim holds at every step, the pooled frequency is <= alpha
-  too, so ``rate <= alpha + slack`` is a NECESSARY condition — and with
-  ``n_mc * (T+1)`` samples it is a statistically tight one (the
-  ``calibrated`` flag gates on it, slack = ``slack_se`` pooled binomial
-  standard errors of ``alpha``).
+* ``rate``: violation frequency pooled over all lanes and noise-reached
+  steps (the deterministic initial state is excluded).  If the per-step
+  claim holds at every step, the pooled frequency is <= alpha too, so
+  ``rate <= alpha + slack`` is a NECESSARY condition; the ``calibrated``
+  flag gates on it.  The slack is ``slack_se`` binomial standard errors of
+  ``alpha`` at **n_mc** effective samples — lanes are independent, but
+  violations within a lane are strongly autocorrelated (bound-riding
+  persists across steps), so counting every (lane, step) sample would
+  overstate the precision and flake the gate.
 * ``worst_step_rate``: the largest per-step frequency across the horizon —
   the sharper diagnostic (a single hot step dilutes out of the pooled
   rate), but a max over T dependent binomials at only ``n_mc`` samples
@@ -36,18 +39,27 @@ from typing import Optional
 
 import numpy as np
 
-_OFF = 1e9  # |bound| above this means "no constraint" (controller _BIG)
+# |bound| at or above this is treated as "no constraint".  Conservative
+# against both box sentinels in this package (mpc/controller._BIG = 1e10,
+# mpc/mhe._BIG = 1e9); a genuine physical bound this large would be
+# misclassified as inactive, but at that magnitude the box cannot bind any
+# realizable trajectory anyway.
+_OFF = 1e9
 
 
 def violation_rates(xs, xlb, xub):
     """Per-dimension empirical violation statistics of the box
-    ``[xlb, xub]`` over trajectories ``xs (n_mc, T, Nx)``.
+    ``[xlb, xub]`` over trajectories ``xs (n_mc, T+1, Nx)``.
+
+    The initial state ``xs[:, 0]`` is excluded — it is the deterministic
+    start, not a noise-reached state, so it carries no information about
+    realized risk.
 
     Returns ``(rate, worst_step_rate, active)``: pooled frequency (Nx,),
     worst per-step frequency (Nx,), and the mask of dimensions that have a
     finite bound on at least one side.
     """
-    xs = np.asarray(xs)
+    xs = np.asarray(xs)[:, 1:]
     xlb = np.asarray(xlb, dtype=xs.dtype)
     xub = np.asarray(xub, dtype=xs.dtype)
     viol = (xs < xlb) | (xs > xub)            # broadcasts over (n_mc, T, Nx)
@@ -66,8 +78,9 @@ def chance_calibration(mpc, x0, sim_time, x_sp, n_mc: int = 128,
     Runs :meth:`MPC.solve_mc` (``n_mc`` process-noise realizations, one
     compiled program) and checks every bounded state dimension's POOLED
     violation frequency against ``alpha + slack_se * SE`` where
-    ``SE = sqrt(alpha (1-alpha) / (n_mc * (T+1)))`` — the necessary
-    condition of the per-step claim (module docstring).
+    ``SE = sqrt(alpha (1-alpha) / n_mc)`` — n_mc independent lanes are the
+    effective sample size; see the module docstring for why per-step
+    samples are not counted.
 
     ``alpha`` defaults to ``1 - mpc.percentile``; pass it explicitly to
     audit an untightened controller (``percentile=None``) against a target.
@@ -83,8 +96,7 @@ def chance_calibration(mpc, x0, sim_time, x_sp, n_mc: int = 128,
     xs, _ = mpc.solve_mc(x0, sim_time, x_sp, n_mc, key=key,
                          con_par_func=con_par_func)
     rate, worst, active = violation_rates(xs, mpc.xlb, mpc.xub)
-    n_samples = n_mc * xs.shape[1]
-    se = float(np.sqrt(alpha * (1.0 - alpha) / n_samples))
+    se = float(np.sqrt(alpha * (1.0 - alpha) / n_mc))
     bound = alpha + slack_se * se
     calibrated = bool(np.all(rate[active] <= bound)) if active.any() \
         else True

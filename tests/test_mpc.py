@@ -411,19 +411,21 @@ def test_mpc_gp_ut_closed_loop(tank_model, tank_gp):
 
 def test_violation_rates_unit():
     """Pure-numpy audit arithmetic: pooled and worst-step frequencies over a
-    synthetic ensemble, inactive (unbounded) dims masked out."""
+    synthetic ensemble — the deterministic initial state excluded, inactive
+    (unbounded) dims masked out."""
     from gpmpc_tpu.utils.calibration import violation_rates
 
     xlb = np.array([0.0, -1e10])
     xub = np.array([1.0, 1e10])
     xs = np.zeros((4, 3, 2))
     xs[:, :, 1] = 5.0          # dim 1 unbounded: never a violation
+    xs[:, 0, 0] = 2.0          # initial state out of bounds: NOT counted
     xs[0, 1, 0] = 2.0          # one lane violates dim 0 at step 1
     xs[1, 1, 0] = -1.0         # second lane violates dim 0 at step 1
     rate, worst, active = violation_rates(xs, xlb, xub)
     assert active.tolist() == [True, False]
-    assert rate[0] == pytest.approx(2.0 / 12.0)
-    assert worst[0] == pytest.approx(0.5)    # step 1: 2 of 4 lanes
+    assert rate[0] == pytest.approx(2.0 / 8.0)   # 2 of (4 lanes x 2 steps)
+    assert worst[0] == pytest.approx(0.5)        # step 1: 2 of 4 lanes
     assert rate[1] == 0.0
 
 
@@ -460,7 +462,12 @@ def test_chance_constraint_empirical_calibration(tank_model):
     report = chance_calibration(mpc_tight, x0, n_steps * DT, x_sp,
                                 n_mc=n_mc, key=jax.random.PRNGKey(5))
     assert report["alpha"] == pytest.approx(0.05)
-    assert np.all(mpc_tight.last_mc["converged"] >= 0)  # diagnostics landed
+    # per-lane diagnostics landed with the right shape (note: converged is
+    # legitimately all-False here — the setpoint is INFEASIBLE against the
+    # tightened bound, so the AL convergence gate refuses; the tracking
+    # quality is what the rest of the test measures)
+    conv = mpc_tight.last_mc["converged"]
+    assert conv.shape == (n_mc, n_steps) and conv.dtype == bool
     # every lane is a genuine closed loop: distinct noise -> distinct paths
     xs_t = mpc_tight.last_mc["x_sim"]
     assert np.std(xs_t[:, -1, 0]) > 1e-4
