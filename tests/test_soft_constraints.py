@@ -3,6 +3,7 @@ constraints + terminal constraint) [SURVEY C6 'slack penalties
 lam/lam_state for soft constraints']."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -114,3 +115,22 @@ def test_lam_binds_active_user_constraint(model):
     h1_end = float(np.asarray(xs)[-1, 0])
     assert h1_end < cap + 0.3, f"cap not enforced (h1={h1_end})"
     assert h1_end > cap - 2.0, "over-conservative: far below the cap"
+
+
+def test_solve_mc_with_user_constraints(model):
+    """solve_mc threads con_par_func through every Monte-Carlo lane: the
+    per-step user-constraint parameters are shared across lanes, and an
+    active user cap binds the whole noisy ensemble."""
+    mpc = _mpc_user(model)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    cap = 12.0                               # below the h1 setpoint: binds
+    xs, us = mpc.solve_mc(x0, 10 * DT, x_sp, n_mc=4,
+                          key=jax.random.PRNGKey(11),
+                          con_par_func=lambda k: np.array([cap]))
+    xs = np.asarray(xs)
+    assert xs.shape[0] == 4 and np.all(np.isfinite(xs))
+    # the cap binds every lane (allow the process-noise sigma on top)
+    assert xs[:, :, 0].max() < cap + 0.15, xs[:, :, 0].max()
+    # lanes differ (independent noise)
+    assert np.std(xs[:, -1, 0]) > 1e-5
