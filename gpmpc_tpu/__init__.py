@@ -38,7 +38,10 @@ from gpmpc_tpu.models.dynamics import Model
 from gpmpc_tpu.models.gp import GP
 from gpmpc_tpu.mpc.controller import MPC
 from gpmpc_tpu.mpc.mhe import MHE
+from gpmpc_tpu.mpc.output_feedback import (OutputFeedbackResult,
+                                           simulate_output_feedback)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
-__all__ = ["Model", "GP", "MPC", "MHE", "__version__"]
+__all__ = ["Model", "GP", "MPC", "MHE", "simulate_output_feedback",
+           "OutputFeedbackResult", "__version__"]

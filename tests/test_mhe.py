@@ -233,3 +233,64 @@ def test_mhe_arrival_update_equals_kalman_filter():
     # the fixed-prior short window is NOT the Kalman filter
     assert err_fix.max() > 10 * max(err_upd.max(), 1e-12), (
         err_fix.max(), err_upd.max())
+
+
+@pytest.mark.slow
+def test_fused_output_feedback_matches_host_composition():
+    """The fused one-program output-feedback loop (measurement -> MHE solve
+    -> MPC solve -> plant step inside one lax.scan) reproduces the
+    host-composed mhe.step + mpc.solve_step loop on identical noise draws
+    — the fusion changes the process boundary, not the math."""
+    from gpmpc_tpu import MPC, simulate_output_feedback
+    from gpmpc_tpu.systems import four_tank_ode
+
+    dt = 3.0
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=dt,
+                  R=np.diag([1e-4] * 4), clip_negative=True,
+                  dtype=jnp.float64, integrator_substeps=10)
+    c = np.array([[1.0, 0.0, 0.0, 0.0],
+                  [0.0, 1.0, 0.0, 0.0]])
+    r_meas = np.diag([2.5e-3, 2.5e-3])
+    mhe = MHE(model, window=3, Q_noise=model.R, R_meas=r_meas,
+              P_arrival=np.diag([0.5] * 4),
+              h=lambda x: jnp.asarray(c, x.dtype) @ x,
+              xlb=[0.0] * 4, discrete_method="rk4")
+    mpc = MPC(horizon=4 * dt, model=model, gp=None, gp_method="ME",
+              discrete_method="rk4",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1)
+
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    x_bar = np.array([8.5, 8.5, 1.2, 1.2])
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    n = 6
+    rng = np.random.default_rng(12)
+    noise_w = 0.01 * rng.standard_normal((n, 4))
+    noise_v = 0.05 * rng.standard_normal((n, 2))
+
+    res = simulate_output_feedback(mpc, mhe, x0, x_bar, n * dt, x_sp,
+                                   noise_w=noise_w, noise_v=noise_v)
+    assert res.x_true.shape == (n + 1, 4)
+    assert np.all(np.isfinite(res.x_true))
+
+    # host-composed loop on the SAME draws (example output_feedback.py's
+    # per-step shape, suitable for a real plant)
+    est = mhe.init_filter(x_bar, mhe.h(jnp.asarray(x0)) + noise_v[0])
+    warm = mpc._init_warm(
+        mpc._augment_x0(jnp.asarray(x_bar), jnp.zeros(2)),
+        mpc._ref_window(jnp.asarray(x_sp)))
+    x = jnp.asarray(x0)
+    u_prev = jnp.zeros(2)
+    for k in range(n):
+        y = mhe.h(x) + noise_v[k]
+        est, x_hat = mhe.step(est, y, u_prev)
+        u0, warm, _, _ = mpc.solve_step(x_hat, x_sp, warm=warm,
+                                        u_prev=u_prev)
+        x = jnp.maximum(model.integrate(x, u0) + noise_w[k], 0.0)
+        np.testing.assert_allclose(np.asarray(x_hat), res.x_hat[k],
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(u0), res.u[k], atol=1e-8)
+        np.testing.assert_allclose(np.asarray(x), res.x_true[k + 1],
+                                   atol=1e-8)
+        u_prev = u0
