@@ -125,6 +125,26 @@ def main(quick=False, tpu=False):
     assert tail[:, 2:].max() < 0.5, "upper-tank estimates did not settle"
     assert cost_est < 1.5 * cost_true, "estimate feedback cost blew up"
 
+    # the same stack as ONE compiled program (simulation/evaluation path):
+    # both NLPs and the plant step fuse into a single lax.scan, so the
+    # per-step cost is device time, not n_steps x host dispatch
+    from gpmpc_tpu import simulate_output_feedback
+    res = simulate_output_feedback(mpc, mhe, x0_true, x0_prior,
+                                   n_steps * dt, x_sp,
+                                   key=jax.random.PRNGKey(2))
+    t0 = time.perf_counter()
+    res = simulate_output_feedback(mpc, mhe, x0_true, x0_prior,
+                                   n_steps * dt, x_sp,
+                                   key=jax.random.PRNGKey(2))
+    wall_fused = time.perf_counter() - t0
+    e_fused = np.abs(res.x_hat - res.x_true[:-1])[n_steps // 2:, 2:]
+    print(f"fused one-program variant (simulate_output_feedback): "
+          f"{1e3 * wall_fused / n_steps:.1f} ms/step warm "
+          f"(vs {1e3 * wall / n_steps:.1f} host-composed incl. compile); "
+          f"settled upper-tank |err| mean={e_fused.mean():.3f}")
+    assert np.all(np.isfinite(res.x_true))
+    assert e_fused.max() < 0.5
+
     # plot: true vs estimated trajectories for the unmeasured tanks
     try:
         import matplotlib
