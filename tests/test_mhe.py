@@ -294,3 +294,36 @@ def test_fused_output_feedback_matches_host_composition():
         np.testing.assert_allclose(np.asarray(x), res.x_true[k + 1],
                                    atol=1e-8)
         u_prev = u0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,nm,m", [(21, 1, 1), (22, 3, 3)])
+def test_mhe_arrival_update_kalman_property_randomized(seed, nm, m):
+    """Property form of the Kalman-exactness check: random measurement maps
+    (from rank-1 up to full state), random noise scales, and the extreme
+    window sizes (M=1 single-transition window, M=3) must all reproduce the
+    full-information Kalman filter when the arrival prior rides the EKF
+    recursion."""
+    model, ad, bd = _linear_model()
+    nx = 3
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-1.0, 1.0, size=(nm, nx))
+    q = 1e-4 * np.eye(nx)                    # == model.R
+    r = np.diag(rng.uniform(1e-3, 1e-2, size=nm))
+    p0 = np.diag(rng.uniform(5e-3, 5e-2, size=nx))
+    x_bar0 = rng.uniform(-0.2, 0.2, size=nx)
+    t_total = 12
+
+    x0_true = x_bar0 + rng.uniform(-0.1, 0.1, size=nx)
+    xs_true, us, ys = _simulate(ad, bd, c, q, r, x0_true, t_total, rng)
+    _, x_filt = _rts_smoother(ad, bd, c, q, r, x_bar0, p0, ys, us)
+
+    mhe = MHE(model, window=m, Q_noise=q, R_meas=r, P_arrival=p0,
+              h=lambda x: jnp.asarray(c, x.dtype) @ x,
+              discrete_method="rk4", arrival_update=True,
+              solver_opts=dict(max_iters=50, tol_stat=1e-12))
+    state = mhe.start_filter(x_bar0, ys[:m + 1], us[:m])
+    for k in range(m + 1, t_total):
+        state, x_hat = mhe.step(state, ys[k], us[k - 1])
+        err = np.abs(np.asarray(x_hat) - x_filt[k]).max()
+        assert err < 1e-6, (k, err)
