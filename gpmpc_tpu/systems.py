@@ -89,3 +89,36 @@ def ellipse_obstacle_constraints(n_obstacles: int, scale: float = 1.0):
         return jnp.stack(g)
 
     return cb, 4 * n_obstacles
+
+
+# --------------------------------------------------------- planar quadrotor
+
+#: Planar quadrotor (PVTOL) parameters: mass [kg], arm length [m], inertia
+#: [kg m^2], gravity [m/s^2].
+QUAD_PARAMS = dict(m=1.0, l=0.25, J=0.02, g=9.81)
+
+
+def planar_quadrotor_ode(x, u, p=None):
+    """Planar quadrotor / PVTOL (beyond-reference third plant family):
+    states [px, pz, theta, vx, vz, omega], inputs [T1, T2] (rotor thrusts).
+
+        v̇x = -(T1+T2) sin(theta) / m
+        v̇z =  (T1+T2) cos(theta) / m - g
+        ω̇  =  l (T1 - T2) / J
+
+    Smooth trig nonlinearity (contrast: the tank's sqrt, the car's tan) —
+    a hover plant whose gravity feed-forward and attitude coupling exercise
+    the hybrid GP residual path under deliberate mass mismatch
+    (``examples/quadrotor.py``).
+    """
+    p = p or QUAD_PARAMS
+    theta, vx, vz, omega = x[2], x[3], x[4], x[5]
+    thrust = u[0] + u[1]
+    return jnp.stack([
+        vx,
+        vz,
+        omega,
+        -thrust * jnp.sin(theta) / p["m"],
+        thrust * jnp.cos(theta) / p["m"] - p["g"],
+        p["l"] * (u[0] - u[1]) / p["J"],
+    ])

@@ -185,3 +185,30 @@ def test_clip_negative():
                                     xub=[0.2], xlb=[0.0],
                                     key=jax.random.PRNGKey(1))
     assert np.all(np.asarray(Y) >= 0.0)
+
+
+def test_planar_quadrotor_hover_equilibrium():
+    """PVTOL plant (third plant family): level attitude with each rotor at
+    m*g/2 is an equilibrium; jacfwd linearization at hover has the textbook
+    structure (gravity tilt coupling -g into v_x-dot from theta)."""
+    from gpmpc_tpu.systems import QUAD_PARAMS, planar_quadrotor_ode
+
+    p = QUAD_PARAMS
+    hover_u = jnp.array([p["m"] * p["g"] / 2.0] * 2)
+    x_eq = jnp.zeros(6)
+    dx = np.asarray(planar_quadrotor_ode(x_eq, hover_u))
+    np.testing.assert_allclose(dx, np.zeros(6), atol=1e-12)
+
+    a = np.asarray(jax.jacfwd(
+        lambda x: planar_quadrotor_ode(x, hover_u))(x_eq))
+    # kinematic identity rows
+    np.testing.assert_allclose(a[0, 3], 1.0)
+    np.testing.assert_allclose(a[1, 4], 1.0)
+    np.testing.assert_allclose(a[2, 5], 1.0)
+    # tilt couples gravity into horizontal acceleration
+    np.testing.assert_allclose(a[3, 2], -p["g"], rtol=1e-12)
+    # differential thrust drives the attitude
+    b = np.asarray(jax.jacfwd(
+        lambda u: planar_quadrotor_ode(x_eq, u))(hover_u))
+    np.testing.assert_allclose(b[5, 0], p["l"] / p["J"], rtol=1e-12)
+    np.testing.assert_allclose(b[5, 1], -p["l"] / p["J"], rtol=1e-12)
