@@ -273,9 +273,13 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
         def inner_body(carry):
             state, it, reg, done, nu_p = carry
             qp, defects = _build_qp(prob, state, params, mu, reg)
-            kkt_solve = (riccati.solve_fused if cfg.fused_kkt
-                         else riccati.solve_parallel if cfg.parallel_kkt
-                         else riccati.solve)
+            # per-horizon backend dispatch (measured policy — a fused_kkt
+            # request at a long horizon degrades to the associative-scan
+            # backend instead of compiling an Nt-unrolled Pallas kernel;
+            # see riccati.KKTPolicy)
+            kkt_solve = riccati.select_backend(
+                prob.horizon, dtype, fused=cfg.fused_kkt,
+                parallel=cfg.parallel_kkt)
             sol = kkt_solve(qp, jnp.zeros((prob.nx,), dtype), reg)
 
             # adapt the merit defect weight to dominate the costates

