@@ -119,7 +119,7 @@ def mhe_section():
             # k measurement updates through the scan filter
             ys = (mhe.h(x_bar)[None]
                   + 0.05 * jax.random.normal(key, (k, 2), dtype))
-            us = 3.0 * jnp.ones((k, 2), dtype)
+            us = 3.0 * jnp.ones((k - 1, 2), dtype)
             return mhe.run(x_bar, ys, us)[0]
 
         ms, spread = _slope(run, 30, 130)

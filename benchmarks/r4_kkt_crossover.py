@@ -100,11 +100,16 @@ def main(nts):
         dx0 = jnp.zeros(4, dtype)
         # cross-check the three backends agree on this instance before
         # trusting the timings
-        ref = np.asarray(riccati.solve(qp, dx0, 1e-6).du, np.float64)
+        ref = np.asarray(jax.jit(riccati.solve)(qp, dx0, 1e-6).du,
+                         np.float64)
         for name, solver in backends:
             try:
+                # jit the cross-check call: eager op-by-op dispatch through
+                # the tunnel costs ~25 ms/op (a bare solve_parallel at Nt=20
+                # measured 235 s eager vs 4.7 s jit-compiled)
                 t0 = time.perf_counter()
-                sol = solver(qp, dx0, 1e-6)
+                sol = jax.jit(solver)(qp, dx0, 1e-6)
+                sol.du.block_until_ready()
                 dev = float(np.max(np.abs(np.asarray(sol.du, np.float64)
                                           - ref)) / (1 + np.abs(ref).max()))
                 one_s = time.perf_counter() - t0

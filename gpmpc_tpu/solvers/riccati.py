@@ -280,17 +280,21 @@ class KKTPolicy:
 
     Measured on v5e f32, nx=4, nu=2 (``benchmarks/r4_kkt_crossover.py``;
     table in benchmarks/RESULTS.md "KKT backend crossover in Nt"): the
-    fused single-launch kernel is fastest at every horizon measured, but
-    its Python-unrolled stage loops make COMPILE time grow superlinearly
-    with Nt (seconds at Nt=20, minutes-class beyond a few hundred stages),
-    so ``fused_max_nt`` caps it and hands long horizons to the
-    associative-scan backend (O(log Nt) depth, horizon-flat latency).
-    ``parallel_min_nt`` is where the associative scan overtakes the
-    sequential sweep when the fused kernel is unavailable.
+    fused single-launch kernel is fastest at every horizon measured
+    (23.5 / 56 / 107 / 214 us at Nt=20/50/100/200, vs 110 / 160 / 207 /
+    289 parallel and 343 / 856 / 1700 / 3399 sequential), but its latency
+    is linear in Nt (~1.0 us/stage in-kernel) against the associative
+    scan's log-depth (~+50 us per Nt-doubling), and its Python-unrolled
+    stage loops make COMPILE time grow ~linearly with Nt (1.8 / 4.0 /
+    9.1 / 19.8 s) — so ``fused_max_nt`` caps it a little past the last
+    measured point, ahead of the extrapolated ~Nt=450 latency crossover
+    and of minute-class compiles.  ``parallel_min_nt`` is where the
+    associative scan overtakes the sequential sweep when the fused kernel
+    is unavailable (measured: 3.1x faster already at Nt=20).
     """
 
-    fused_max_nt: int = 128      # beyond: compile cost dominates; go parallel
-    parallel_min_nt: int = 40    # sequential wins below (fewer total flops)
+    fused_max_nt: int = 256      # beyond: compile cost + linear-in-Nt kernel
+    parallel_min_nt: int = 20    # sequential wins below (fewer total flops)
 
 
 _KKT_POLICY = KKTPolicy()

@@ -370,7 +370,8 @@ def test_kkt_backend_policy_dispatch():
     assert riccati.select_backend(20, f32, fused=True) is riccati.solve_fused
     assert (riccati.select_backend(p.fused_max_nt + 1, f32, fused=True)
             is riccati.solve_parallel)
-    assert riccati.select_backend(20, f32) is riccati.solve
+    assert (riccati.select_backend(p.parallel_min_nt - 1, f32)
+            is riccati.solve)
     assert (riccati.select_backend(p.parallel_min_nt, f32)
             is riccati.solve_parallel)
     # parity path: f64 never auto-switches reduction order
