@@ -206,12 +206,16 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1,
     """Config 4: car EM + hybrid + obstacle ellipses, N=20 — per-solve
     latency via closed-loop K-slope + feasibility (clearance) flag.
 
-    Operating point from the round-3 budget sweep (r3_sweep history, table
-    in RESULTS.md): feasibility through the two-obstacle field needs ~15
-    INNER Gauss-Newton iterations per AL round (mi=10 cuts the corner at
-    any number of outer rounds, and al=1 fails at any mi); 2 AL rounds x
-    15 inner with the fused Pallas KKT and a single covariance pass is the
-    cheapest feasible point measured (2.8 ms/solve, clearance 0.996)."""
+    Operating point al3 x mi15 (round-4 margin sweep, r4_car_margin.py):
+    clearance is a HARD gate (min over the trajectory — unlike the tank's
+    cost ratio it cannot be medianized), and the round-3 al2 x mi15 point
+    (clearance 0.993-0.996 that round) measured 0.918 in a round-4 session
+    with identical seeds — cross-session f32 fit drift moves the dodge
+    geometry.  Today's frontier: al2 fails at ANY inner budget tested
+    (mi15/20/25 -> 0.918/0.939/0.957); the THIRD AL multiplier round is
+    the lever (al3 x mi15 -> 0.997 at 4.3 ms, al3 x mi20 -> 0.995,
+    al2 x mi15 x cov2 -> 0.992 at 6.0 ms).  al3 x mi15 is feasible in
+    both rounds' sessions; ~4% of the 0.1 s control period."""
     from gpmpc_tpu.systems import car_ode, ellipse_obstacle_constraints
 
     dt = 0.1
@@ -250,7 +254,7 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1,
               percentile=0.95, feedback=True, op_x=x0,
               inequality_constraints=ineq_cb, num_con_par=n_par,
               cov_updates=cov_updates,
-              solver_opts=solver_opts or dict(al_iters=2, max_iters=15,
+              solver_opts=solver_opts or dict(al_iters=3, max_iters=15,
                                               fused_kkt=True),
               solve_precision=solve_precision,
               dtype=dtype)
