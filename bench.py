@@ -51,6 +51,36 @@ from benchmarks._timing import sync
 
 TARGET_MS = 1.0  # BASELINE north star: < 1 ms / MPC solve at N=20
 
+#: Pinned bench model (benchmarks/make_bench_fixture.py, CPU x64): the GPs
+#: used to be retrained on the TPU every bench run, and the f32 fit DRIFTS
+#: across sessions with identical seeds (XLA autotuning moves the L-BFGS
+#: trajectory) — measured: realized-cost ratios +-3%, car clearance
+#: 0.92 <-> 0.99 between same-day sessions (RESULTS.md round 4).  The model
+#: is bench SETUP, not a metric, so it is frozen; absent fixture falls back
+#: to in-session training.
+_FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "bench_fixture.npz")
+
+
+def _fixture_gp(prefix, dtype, **gp_kwargs):
+    """Build a GP from the pinned fixture, or None if absent."""
+    if not os.path.exists(_FIXTURE):
+        return None
+    import jax.numpy as jnp
+    from gpmpc_tpu import GP
+    from gpmpc_tpu.models.gp_core import GPHypers
+
+    f = np.load(_FIXTURE)
+    ny = f[f"{prefix}_log_sf2"].shape[0]
+    hyper = GPHypers(
+        log_ell=jnp.asarray(f[f"{prefix}_log_ell"], dtype),
+        log_sf2=jnp.asarray(f[f"{prefix}_log_sf2"], dtype),
+        log_sn2=jnp.asarray(f[f"{prefix}_log_sn2"], dtype),
+        mean_w=jnp.zeros((ny, 0), dtype))
+    return GP(jnp.asarray(f[f"{prefix}_X"], dtype),
+              jnp.asarray(f[f"{prefix}_Y"], dtype),
+              mean_func="zero", hyper=hyper, **gp_kwargs)
+
 
 def build_mpc(model, gp, dtype, solver_opts, solve_precision=None):
     return MPC(horizon=NT * model.dt, model=model, gp=gp, gp_method="TA",
@@ -230,14 +260,17 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1,
     # GP config mirrors examples/car.py exactly — a starved fit (fewer
     # points/starts) was measured to mislead the EM+hybrid covariances
     # enough to cut through the obstacle field (r3_sweep history)
-    x_s = jax.random.uniform(kx, (80, 4), minval=x_lb, maxval=x_ub,
-                             dtype=dtype)
-    u_s = jax.random.uniform(ku, (80, 2), minval=u_lb, maxval=u_ub,
-                             dtype=dtype)
-    resid = (jax.vmap(model.integrate)(x_s, u_s)
-             - jax.vmap(model.rk4)(x_s, u_s))
-    gp = GP(jnp.concatenate([x_s, u_s], axis=1), resid, mean_func="zero",
-            gp_method="EM", multistart=2, max_iters=200, seed=3)
+    gp = _fixture_gp("car", dtype, gp_method="EM")
+    if gp is None:
+        x_s = jax.random.uniform(kx, (80, 4), minval=x_lb, maxval=x_ub,
+                                 dtype=dtype)
+        u_s = jax.random.uniform(ku, (80, 2), minval=u_lb, maxval=u_ub,
+                                 dtype=dtype)
+        resid = (jax.vmap(model.integrate)(x_s, u_s)
+                 - jax.vmap(model.rk4)(x_s, u_s))
+        gp = GP(jnp.concatenate([x_s, u_s], axis=1), resid,
+                mean_func="zero", gp_method="EM", multistart=2,
+                max_iters=200, seed=3)
 
     obstacles = np.array([[6.0, 0.3, 1.5, 1.0],
                           [12.0, -0.6, 1.5, 1.2]])
@@ -310,11 +343,19 @@ def bench_study(model, gp, dtype, out):
     model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u),
                   dt=model.dt, R=MODEL_R, clip_negative=True, dtype=dtype,
                   integrator_substeps=10, fused_integrator=False)
+    # solve_precision='default': unlike the launch-bound single-rollout
+    # paths (where it buys 5% and was rejected for its quality tails),
+    # the B=1024 study is THROUGHPUT-bound — measured +16% (107k -> 124k
+    # rollout-solves/s) at identical psum'd ensemble mean cost (467.79
+    # both, r3c_precision --section study, round 4).  The 1024-rollout
+    # ensemble average is statistically robust where a single trajectory
+    # is not.  GP training stays full-fidelity (the round-3b finding).
     study = BatchedStudy(
         model, gp, horizon=8 * model.dt,
         Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
         ulb=[0.0, 0.0], uub=[8.0, 8.0], capacity=128,
-        solver_opts=dict(al_iters=1, max_iters=3, ls_steps=4))
+        solver_opts=dict(al_iters=1, max_iters=3, ls_steps=4),
+        solve_precision="default")
     b = 1024
     x0s = (jnp.asarray([8.0, 9.0, 1.0, 1.0], dtype)[None]
            + 0.5 * jax.random.uniform(jax.random.PRNGKey(0), (b, 4),
@@ -350,13 +391,22 @@ def main():
     model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
                   R=MODEL_R, clip_negative=True, dtype=dtype,
                   integrator_substeps=10, fused_integrator=True)
-    X, Y = model.generate_training_data(
-        TRAIN_N, uub=TRAIN_UUB, ulb=TRAIN_ULB,
-        xub=TRAIN_XUB, xlb=TRAIN_XLB,
-        key=jax.random.PRNGKey(2))
-    gp = GP(X, Y, mean_func="zero", gp_method="TA", multistart=1,
-            max_iters=100, seed=1,
-            optimizer_opts=dict(jitter=1e-5, min_noise=1e-5))
+    # min_noise=1e-4 is the f32-SAFE noise floor and part of the bench
+    # spec since round 4 (see make_bench_fixture.py: at 1e-5 the fit
+    # descends to an f32 conditioning cliff and the closed loop degrades
+    # by 3-80x in realized cost).  min_noise is ADDITIVE at serve time,
+    # so the serving GP must carry the same value the fixture was trained
+    # with.
+    gp = _fixture_gp("tank", dtype, gp_method="TA",
+                     optimizer_opts=dict(jitter=1e-5, min_noise=1e-4))
+    if gp is None:
+        X, Y = model.generate_training_data(
+            TRAIN_N, uub=TRAIN_UUB, ulb=TRAIN_ULB,
+            xub=TRAIN_XUB, xlb=TRAIN_XLB,
+            key=jax.random.PRNGKey(2))
+        gp = GP(X, Y, mean_func="zero", gp_method="TA", multistart=1,
+                max_iters=100, seed=1,
+                optimizer_opts=dict(jitter=1e-5, min_noise=1e-4))
 
     bench_four_tank(model, gp, dtype, out)          # configs 2/3 (headline)
     errors = {}

@@ -71,9 +71,12 @@ def build_problem(nt=20, n_steps=20, seed=2, n_train=TRAIN_N):
         n_train, uub=TRAIN_UUB, ulb=TRAIN_ULB,
         xub=TRAIN_XUB, xlb=TRAIN_XLB,
         key=jax.random.PRNGKey(seed))
+    # min_noise=1e-4 since round 4: the bench spec's f32-safe noise floor
+    # (see make_bench_fixture.py) — kept identical on the CPU side so the
+    # two sides keep solving the same problem class
     gp = GP(X, Y, mean_func="zero", gp_method="ME", multistart=1,
             max_iters=100, seed=1,
-            optimizer_opts=dict(jitter=1e-5, min_noise=1e-5))
+            optimizer_opts=dict(jitter=1e-5, min_noise=1e-4))
     return model, gp, dt, nt, n_steps
 
 
