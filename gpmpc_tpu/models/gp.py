@@ -66,7 +66,8 @@ class GP:
                  dtype=None,
                  inducing: Optional[int] = None,
                  optimize_inducing: bool = False,
-                 mesh=None):
+                 mesh=None,
+                 kernel: str = "se"):
         X = jnp.asarray(X, dtype)
         Y = jnp.asarray(Y, dtype)
         if X.ndim != 2 or Y.ndim != 2 or X.shape[0] != Y.shape[0]:
@@ -83,9 +84,19 @@ class GP:
         self.Y_raw = Y
         self.N, self.D = X.shape
         self.Ny = Y.shape[1]
+        from gpmpc_tpu.ops.kernels import KERNELS
+        if kernel not in KERNELS:
+            raise ValueError(f"unknown kernel {kernel!r}; "
+                             f"supported: {KERNELS}")
+        if inducing is not None and kernel != "se":
+            raise ValueError(
+                "sparse variational GP (inducing=M) supports the SE kernel "
+                "only — the VFE trace terms are built on the SE closed "
+                "forms")
         opts = dict(optimizer_opts or {})
         self.cfg = GPConfig(mean_func=mean_func, multistart=multistart,
-                            max_iters=max_iters, normalize=normalize, **opts)
+                            max_iters=max_iters, normalize=normalize,
+                            kernel=kernel, **opts)
         self.gp_method = gp_method.upper()
         self._key = jax.random.PRNGKey(seed)
         # optional single-axis device mesh: shards the (multistart x Ny)
@@ -175,6 +186,11 @@ class GP:
             raise ValueError(
                 "exact moment matching (EM) requires mean_func='zero' "
                 "(PILCO closed forms assume a zero prior mean)")
+        if self.gp_method == "EM" and self.cfg.kernel != "se":
+            raise ValueError(
+                "exact moment matching (EM) requires kernel='se' — the "
+                "PILCO closed forms are SE-specific; use ME/TA/UT with "
+                f"kernel={self.cfg.kernel!r}")
         prop = get_propagator(self.gp_method)
         cfg = self.cfg
         jitted = jax.jit(lambda post, norm, mu_z, cov_z:

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import optax
 import optax.tree_utils as otu
 
-from gpmpc_tpu.ops.kernels import se_ard_cross
-from gpmpc_tpu.ops.dispatch import se_ard_gram_auto as se_ard_gram
+from gpmpc_tpu.ops.kernels import kernel_cross
+from gpmpc_tpu.ops.dispatch import kernel_gram_auto
 from gpmpc_tpu.ops.dispatch import cholesky_auto as cholesky_psd
 from gpmpc_tpu.ops.chol import chol_solve, tri_solve
 from gpmpc_tpu.models.mean_functions import mean_value, num_mean_params
@@ -94,8 +94,8 @@ def nll_single(log_ell: jnp.ndarray, log_sf2: jnp.ndarray,
     n = x.shape[0]
     sf2 = jnp.exp(log_sf2)
     sn2 = _noise_var(log_sn2, cfg)
-    k = se_ard_gram(x, jnp.exp(log_ell), sf2, sn2,
-                    jitter=_jitter_floor(cfg, x.dtype))
+    k = kernel_gram_auto(cfg.kernel, x, jnp.exp(log_ell), sf2, sn2,
+                         jitter=_jitter_floor(cfg, x.dtype))
     l = cholesky_psd(k)
     r = y - mean_value(x, mean_w, mean_func)
     a = chol_solve(l, r)
@@ -305,7 +305,8 @@ def posterior(x: jnp.ndarray, y: jnp.ndarray, hypers: GPHypers,
     def one(log_ell, log_sf2, log_sn2, mean_w, y_d):
         sn2 = _noise_var(log_sn2, cfg)
         sf2 = jnp.exp(log_sf2)
-        k = se_ard_gram(x, jnp.exp(log_ell), sf2, sn2, jitter=jit_floor)
+        k = kernel_gram_auto(cfg.kernel, x, jnp.exp(log_ell), sf2, sn2,
+                             jitter=jit_floor)
 
         def try_factor(kk):
             # failure = NaN (jnp.linalg.cholesky) OR finite garbage (a
@@ -348,7 +349,7 @@ def predict(post: GPPosterior, z: jnp.ndarray, cfg: GPConfig
     Parity target: ``gp_mpc/gp_functions.py::gp`` [SURVEY C3b].
     """
     def one(log_ell, log_sf2, log_sn2, mean_w, alpha, inv_k):
-        ks = se_ard_cross(z[None, :], post.x, jnp.exp(log_ell),
+        ks = kernel_cross(cfg.kernel, z[None, :], post.x, jnp.exp(log_ell),
                           jnp.exp(log_sf2))[0]                    # (N,)
         mu = mean_value(z, mean_w, cfg.mean_func) + jnp.dot(ks, alpha)
         # variance via the precomputed explicit inverse: two matvecs that

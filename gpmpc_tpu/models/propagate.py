@@ -107,6 +107,9 @@ def propagate_em(post: gp_core.GPPosterior, norm: Normalization,
     output pair (a, b) factorizes into rank-structured terms whose coupling
     is a single (N, D) x (D, N) matmul — MXU work, no Python loops.
     """
+    if cfg.kernel != "se":
+        raise ValueError("exact moment matching is SE-specific "
+                         f"(kernel={cfg.kernel!r}); use ME/TA/UT")
     h = post.hypers
     x = post.x                                          # (N, D) normalized
     n, d = x.shape

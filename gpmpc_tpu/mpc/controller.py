@@ -376,6 +376,11 @@ class MPC:
             if gp is None or dm not in ("gp", "hybrid"):
                 raise ValueError("online_capacity requires a GP-based "
                                  "discrete_method")
+            if gp.cfg.kernel != "se":
+                raise ValueError(
+                    "online_capacity supports the SE kernel only (the "
+                    "streaming Schur-complement conditioning path is built "
+                    f"on the SE forms); got kernel={gp.cfg.kernel!r}")
             from gpmpc_tpu.parallel import online_gp as _og
             self._og = _og
             self.online_post0, _ = _og.from_gp(gp, online_capacity)

@@ -90,6 +90,17 @@ def cholesky_auto(a: jnp.ndarray) -> jnp.ndarray:
     return _c.cholesky_psd(a)
 
 
+def kernel_gram_auto(name: str, x: jnp.ndarray, ell: jnp.ndarray, sf2,
+                     sn2=0.0, jitter: float = 0.0) -> jnp.ndarray:
+    """Gram for the named kernel family with backend dispatch: the SE
+    family keeps the measured Pallas policy; Matérn runs the XLA form
+    (same fused matmul + elementwise-epilogue shape — no Pallas variant
+    exists or is warranted per the header table's no-crossover finding)."""
+    if name == "se":
+        return se_ard_gram_auto(x, ell, sf2, sn2, jitter)
+    return _k.kernel_gram(name, x, ell, sf2, sn2, jitter)
+
+
 def gp_predict_batch_auto(z: jnp.ndarray, x: jnp.ndarray, ell: jnp.ndarray,
                           sf2, alpha: jnp.ndarray):
     """Batched single-dim GP cross-kernel + mean with backend dispatch:

@@ -91,3 +91,59 @@ def se_ard_gram(x: jnp.ndarray, ell: jnp.ndarray, sf2: jnp.ndarray,
     k = se_ard_cross(x, x, ell, sf2)
     eye = jnp.eye(n, dtype=k.dtype)
     return k * (1.0 - eye) + (sf2 + sn2 + jitter * sf2) * eye
+
+
+def _matern_cross(x: jnp.ndarray, z: jnp.ndarray, ell: jnp.ndarray,
+                  sf2: jnp.ndarray, nu: float) -> jnp.ndarray:
+    """Matérn-ARD cross-covariance, nu in {1.5, 2.5} (half-integer closed
+    forms).  Beyond-reference: the upstream supports SE-ARD only [SURVEY
+    C3a]; Matérn's finite smoothness (C^1 / C^2 sample paths) is the usual
+    better prior for mechanical/process dynamics with sharp valve or
+    contact transitions.
+
+    Same MXU-friendly structure as the SE path: one pinned ``sq_maha``
+    matmul, then an elementwise polynomial*exp epilogue XLA fuses.  The
+    distance sqrt carries a tiny floor (1e-36) so the kernel is
+    differentiable at r=0 (TA propagation takes ``jacfwd`` through this):
+    the closed forms' odd-power r terms have bounded derivative, but a
+    bare sqrt(0) produces NaN tangents.
+    """
+    r2 = sq_maha(x / ell, z / ell)
+    r = jnp.sqrt(r2 + 1e-36)
+    if nu == 1.5:
+        c = 1.7320508075688772  # sqrt(3)
+        poly = 1.0 + c * r
+    elif nu == 2.5:
+        c = 2.23606797749979    # sqrt(5)
+        poly = 1.0 + c * r + (5.0 / 3.0) * r2
+    else:  # pragma: no cover - guarded by kernel_cross
+        raise ValueError(f"unsupported Matérn nu={nu}")
+    return sf2 * poly * jnp.exp(-c * r)
+
+
+#: supported kernel families (GPConfig.kernel)
+KERNELS = ("se", "matern52", "matern32")
+
+
+def kernel_cross(name: str, x: jnp.ndarray, z: jnp.ndarray,
+                 ell: jnp.ndarray, sf2: jnp.ndarray) -> jnp.ndarray:
+    """Cross-covariance for the named kernel family: (N, D), (M, D) -> (N, M)."""
+    if name == "se":
+        return se_ard_cross(x, z, ell, sf2)
+    if name == "matern52":
+        return _matern_cross(x, z, ell, sf2, 2.5)
+    if name == "matern32":
+        return _matern_cross(x, z, ell, sf2, 1.5)
+    raise ValueError(f"unknown kernel {name!r}; supported: {KERNELS}")
+
+
+def kernel_gram(name: str, x: jnp.ndarray, ell: jnp.ndarray,
+                sf2: jnp.ndarray, sn2: jnp.ndarray | float = 0.0,
+                jitter: float = 0.0) -> jnp.ndarray:
+    """Gram for the named kernel family, diagonal written exactly
+    (every stationary kernel here has k(x,x) = sf2)."""
+    if name == "se":
+        return se_ard_gram(x, ell, sf2, sn2, jitter)
+    k = kernel_cross(name, x, x, ell, sf2)
+    eye = jnp.eye(x.shape[0], dtype=k.dtype)
+    return k * (1.0 - eye) + (sf2 + sn2 + jitter * sf2) * eye

@@ -125,6 +125,11 @@ class BatchedStudy:
                                                     "max_iters": 15}))
         self.mesh = mesh
 
+        if gp.cfg.kernel != "se":
+            raise ValueError(
+                "BatchedStudy supports the SE kernel only (its per-rollout "
+                "online conditioning is built on the SE forms); got "
+                f"kernel={gp.cfg.kernel!r}")
         cap = capacity or (gp.N + 64)
         self.post0, self.norm = online_gp.from_gp(gp, cap)
 

@@ -25,6 +25,13 @@ class GPConfig:
     """
 
     mean_func: str = "zero"  # zero | const | linear | poly
+    # Kernel family (beyond-reference — upstream is SE-ARD only [SURVEY
+    # C3a]): 'se' | 'matern52' | 'matern32'.  Matérn supports ME/TA/UT
+    # propagation and the full MPC/MHE embedding (mean/variance are
+    # autodiff-generic); EM keeps its SE-only PILCO closed forms, and the
+    # sparse VFE / online-conditioning paths stay SE-only (guarded at
+    # construction).
+    kernel: str = "se"
     multistart: int = 2
     max_iters: int = 250            # L-BFGS iteration cap per start
     grad_tol: float = 1e-7          # stop when ||grad||_inf below this
