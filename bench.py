@@ -39,6 +39,18 @@ import time
 
 import numpy as np
 import jax
+
+# Persistent XLA compilation cache: a full bench run spends ~half its wall
+# time compiling ~15 closed-loop programs that are identical across
+# invocations on the same machine (same methodology as tests/conftest.py;
+# measured there: 74 s -> 41 s warm).  Keyed by program + compiler version,
+# so a stale cache is a miss, not a wrong result.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", ".jax_cache")))
+
 import jax.numpy as jnp
 
 from gpmpc_tpu import GP, MPC, Model
