@@ -69,6 +69,9 @@ CONFIGS = {
     # built by run_car_golden, listed here so the parametrized gate is
     # mandatory for it too
     "car_em_hybrid_obs": dict(family="car"),
+    # third plant family (round 3d): PVTOL quadrotor under mass mismatch,
+    # hybrid GP residuals, driven through solve_step (plant != model)
+    "quad_hybrid_mismatch": dict(family="quad"),
 }
 
 
@@ -79,6 +82,8 @@ def run_config(name, model, gp):
         return run_car_golden()
     if family == "mhe":
         return run_mhe_golden(model, gp)
+    if family == "quad":
+        return run_quad_golden()
     horizon_steps = kw.pop("horizon_steps", 5)
     with_du = kw.pop("with_du", False)
     extra = {}
@@ -135,6 +140,54 @@ def run_mhe_golden(model, gp):
     xs = np.concatenate([np.asarray(res.x_true[1:], np.float64),
                          np.asarray(res.x_hat, np.float64)], axis=1)
     return xs, np.asarray(res.u, np.float64)
+
+
+def run_quad_golden():
+    """PVTOL quadrotor, hybrid GP-residual MPC vs a 30%-heavier true plant,
+    driven through solve_step (test-scale mirror of examples/quadrotor.py) —
+    pins the hybrid residual embedding and the external-plant interface."""
+    from gpmpc_tpu.systems import QUAD_PARAMS, planar_quadrotor_ode
+
+    dtype = jnp.float64
+    dt = 0.05
+    p_true = dict(QUAD_PARAMS, m=1.3)
+    nominal = Model(Nx=6, Nu=2, ode=lambda x, u: planar_quadrotor_ode(x, u),
+                    dt=dt, R=np.diag([1e-8] * 6), dtype=dtype,
+                    integrator_substeps=4)
+    plant = Model(Nx=6, Nu=2,
+                  ode=lambda x, u: planar_quadrotor_ode(x, u, p_true),
+                  dt=dt, R=np.diag([1e-8] * 6), dtype=dtype,
+                  integrator_substeps=4)
+    kx, ku = jax.random.split(jax.random.PRNGKey(0))
+    x_lo = np.array([-2.0, 0.0, -0.4, -1.5, -1.5, -1.0])
+    x_hi = np.array([3.0, 3.0, 0.4, 1.5, 1.5, 1.0])
+    xs_s = jax.random.uniform(kx, (40, 6), minval=x_lo, maxval=x_hi,
+                              dtype=dtype)
+    us_s = jax.random.uniform(ku, (40, 2), minval=2.0, maxval=9.0,
+                              dtype=dtype)
+    resid = (jax.vmap(plant.integrate)(xs_s, us_s)
+             - jax.vmap(nominal.rk4)(xs_s, us_s))
+    gp = GP(jnp.concatenate([xs_s, us_s], axis=1), resid, mean_func="zero",
+            gp_method="TA", multistart=2, max_iters=150, seed=1)
+    mpc = MPC(horizon=8 * dt, model=nominal, gp=gp, gp_method="TA",
+              discrete_method="hybrid",
+              Q=np.diag([10.0, 30.0, 2.0, 1.0, 1.0, 0.2]),
+              R=0.02 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[10.0, 10.0],
+              xlb=[-5.0, 0.2, -1.0, -5.0, -5.0, -6.0],
+              xub=[5.0, 5.0, 1.0, 5.0, 5.0, 6.0],
+              feedback=False, percentile=None, cov_updates=1, dtype=dtype)
+    x = jnp.asarray([0.0, 1.0, 0.0, 0.0, 0.0, 0.0], dtype)
+    x_sp = np.array([1.5, 2.0, 0.0, 0.0, 0.0, 0.0])
+    warm, u_prev = None, None
+    traj, inputs = [np.asarray(x)], []
+    for _ in range(10):
+        u0, warm, _, _ = mpc.solve_step(x, x_sp, warm=warm, u_prev=u_prev)
+        u_prev = u0
+        x = plant.integrate(x, u0)
+        traj.append(np.asarray(x))
+        inputs.append(np.asarray(u0))
+    return np.stack(traj), np.stack(inputs)
 
 
 def run_car_golden():
