@@ -64,13 +64,13 @@ def test_gp_core_routes_through_dispatch(monkeypatch):
     from gpmpc_tpu.models import gp_core
 
     hits = []
-    real = dispatch.se_ard_gram_auto
+    real = dispatch.kernel_gram_auto
 
-    def spy(*a, **kw):
-        hits.append(a[0].shape[0])
-        return real(*a, **kw)
+    def spy(name, x, *a, **kw):
+        hits.append(x.shape[0])
+        return real(name, x, *a, **kw)
 
-    monkeypatch.setattr(gp_core, "se_ard_gram", spy)
+    monkeypatch.setattr(gp_core, "kernel_gram_auto", spy)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.uniform(-1, 1, (16, 3)))
     y = jnp.asarray(rng.standard_normal((16, 2)))
