@@ -88,11 +88,6 @@ class GP:
         if kernel not in KERNELS:
             raise ValueError(f"unknown kernel {kernel!r}; "
                              f"supported: {KERNELS}")
-        if inducing is not None and kernel != "se":
-            raise ValueError(
-                "sparse variational GP (inducing=M) supports the SE kernel "
-                "only — the VFE trace terms are built on the SE closed "
-                "forms")
         opts = dict(optimizer_opts or {})
         self.cfg = GPConfig(mean_func=mean_func, multistart=multistart,
                             max_iters=max_iters, normalize=normalize,
@@ -291,6 +286,7 @@ class GP:
                  mean_func=self.cfg.mean_func,
                  gp_method=self.gp_method,
                  normalize=self.cfg.normalize,
+                 kernel=self.cfg.kernel,
                  inducing=self.inducing or 0,
                  # the (possibly gradient-optimized) inducing set in
                  # NORMALIZED coordinates — stored explicitly so a loaded
@@ -312,7 +308,9 @@ class GP:
         gp = cls(z["X"], z["Y"], mean_func=str(z["mean_func"]),
                  gp_method=str(z["gp_method"]), hyper=hyper,
                  normalize=bool(z["normalize"]),
-                 inducing=inducing or None)
+                 inducing=inducing or None,
+                 # pre-round-4 archives carry no kernel field (SE-only era)
+                 kernel=str(z["kernel"]) if "kernel" in z else "se")
         if inducing and "Zn" in z and z["Zn"].size:
             zn = jnp.asarray(z["Zn"], gp.Xn.dtype)
             if not np.array_equal(np.asarray(gp.Zn), np.asarray(zn)):

@@ -33,6 +33,10 @@ per-stage propagation cost dropping from O(N^2) to O(M^2).
 Not compatible with online conditioning (`parallel/online_gp.py`), whose
 update algebra assumes ``inv_k`` is the data-space precision; guarded at
 ``from_gp``.
+
+Kernel-family generic: every term of the bound consumes only cross-kernel
+blocks plus the stationary diagonal tr(K_NN) = N*sf2, so the SE and Matérn
+ARD families (``GPConfig.kernel``) train through the identical program.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ import jax.numpy as jnp
 from gpmpc_tpu.models import gp_core
 from gpmpc_tpu.models.gp_core import GPHypers, GPPosterior, _jitter_floor, _noise_var
 from gpmpc_tpu.models.mean_functions import mean_value
-from gpmpc_tpu.ops.kernels import se_ard_cross, se_ard_gram
+from gpmpc_tpu.ops.kernels import kernel_cross, kernel_gram
 from gpmpc_tpu.ops.chol import tri_solve
 from gpmpc_tpu.ops.dispatch import cholesky_auto as cholesky_psd
 from gpmpc_tpu.utils.config import GPConfig
@@ -96,9 +100,9 @@ def _factor_terms(log_ell, log_sf2, log_sn2, z_ind, x, cfg: GPConfig):
     # cond(K_MM) <~ M*1e4; ~1.8e-13 in f64 where cfg.jitter dominates).
     jit = max(_jitter_floor(cfg, x.dtype),
               800.0 * float(jnp.finfo(x.dtype).eps))
-    k_mm = se_ard_gram(z_ind, ell, sf2, 0.0, jitter=jit)
+    k_mm = kernel_gram(cfg.kernel, z_ind, ell, sf2, 0.0, jitter=jit)
     l_m = cholesky_psd(k_mm)
-    k_mn = se_ard_cross(z_ind, x, ell, sf2)              # (M, N)
+    k_mn = kernel_cross(cfg.kernel, z_ind, x, ell, sf2)  # (M, N)
     a = tri_solve(l_m, k_mn) / jnp.sqrt(sn2)             # (M, N)
     m_ind = z_ind.shape[0]
     b = jnp.eye(m_ind, dtype=x.dtype) + a @ a.T

@@ -376,13 +376,10 @@ class MPC:
             if gp is None or dm not in ("gp", "hybrid"):
                 raise ValueError("online_capacity requires a GP-based "
                                  "discrete_method")
-            if gp.cfg.kernel != "se":
-                raise ValueError(
-                    "online_capacity supports the SE kernel only (the "
-                    "streaming Schur-complement conditioning path is built "
-                    f"on the SE forms); got kernel={gp.cfg.kernel!r}")
             from gpmpc_tpu.parallel import online_gp as _og
             self._og = _og
+            # conditioning consumes cross-kernel rows only — family-agnostic
+            self._online_kernel = gp.cfg.kernel
             self.online_post0, _ = _og.from_gp(gp, online_capacity)
             # in hybrid mode the GP models the residual Bd^+ (x+ - rk4(x,u)),
             # NOT the raw next state; conditioning must map the observed
@@ -806,7 +803,8 @@ class MPC:
                     y_obs = self._bd_pinv @ (x_next - self.model.rk4(x, u_cmd))
                 else:
                     y_obs = x_next
-                opost = self._og.condition(opost, consts.norm, z_obs, y_obs)
+                opost = self._og.condition(opost, consts.norm, z_obs, y_obs,
+                                           kernel=self._online_kernel)
             out = (x, u_cmd, sigmas[1, :self.Nx, :self.Nx], info)
             return (x_next, warm, u_cmd, opost), out
 

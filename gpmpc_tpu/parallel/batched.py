@@ -125,11 +125,9 @@ class BatchedStudy:
                                                     "max_iters": 15}))
         self.mesh = mesh
 
-        if gp.cfg.kernel != "se":
-            raise ValueError(
-                "BatchedStudy supports the SE kernel only (its per-rollout "
-                "online conditioning is built on the SE forms); got "
-                f"kernel={gp.cfg.kernel!r}")
+        # online conditioning is kernel-family agnostic (cross-kernel rows
+        # + stationary diagonal only) — SE and Matérn both stream
+        self.kernel = gp.cfg.kernel
         cap = capacity or (gp.N + 64)
         self.post0, self.norm = online_gp.from_gp(gp, cap)
 
@@ -142,9 +140,12 @@ class BatchedStudy:
             u_scale=u_scale, u_guard_lo=self.ulb - pad,
             u_guard_hi=self.uub + pad, norm=self.norm)
 
+        kernel = self.kernel
+
         def dynamics(x, u, t, params: StudyParams):
             z = jnp.concatenate([x, u])
-            return online_gp.predict(params.post, params.consts.norm, z)[0]
+            return online_gp.predict(params.post, params.consts.norm, z,
+                                     kernel)[0]
 
         def stage_cost(x, u, t, params: StudyParams):
             e = x - params.x_sp
@@ -205,7 +206,8 @@ class BatchedStudy:
                 x_next = jnp.maximum(x_next, 0.0)
             if self.condition_online:
                 z = jnp.concatenate([x, u])
-                post = online_gp.condition(post, consts.norm, z, x_next)
+                post = online_gp.condition(post, consts.norm, z, x_next,
+                                           kernel=self.kernel)
             return (x_next, res.state, post), (x, u, res.obj)
 
         (x_last, _, post), (xs, us, objs) = jax.lax.scan(

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu.models.propagate import Normalization
-from gpmpc_tpu.ops.kernels import se_ard_cross
+from gpmpc_tpu.ops.kernels import kernel_cross
 
 _SENTINEL = 1e6  # normalized-space position of unused slots
 
@@ -110,12 +110,21 @@ def as_gp_posterior(post: OnlinePosterior):
 
 
 def predict(post: OnlinePosterior, norm: Normalization,
-            z_raw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Raw-space predictive mean/variance at one point: (D,) -> ((Ny,), (Ny,))."""
+            z_raw: jnp.ndarray, kernel: str = "se"
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw-space predictive mean/variance at one point: (D,) -> ((Ny,), (Ny,)).
+
+    ``kernel`` is the trained GP's kernel family (``GPConfig.kernel``) —
+    the conditioning algebra below is family-agnostic (it only consumes
+    cross-kernel rows and the stationary diagonal k(x,x)=sf2), and the
+    sentinel-padding contract holds for every supported family: at the
+    1e6 normalized sentinel distance both the SE exp and the Matérn
+    poly*exp underflow to exactly 0.
+    """
     zn = (z_raw - norm.z_mean) / norm.z_std
 
     def one(log_ell, log_sf2, inv_k, alpha):
-        ks = se_ard_cross(zn[None], post.x, jnp.exp(log_ell),
+        ks = kernel_cross(kernel, zn[None], post.x, jnp.exp(log_ell),
                           jnp.exp(log_sf2))[0]
         mu = jnp.dot(ks, alpha)
         # matmul variance path — no triangular solves (backend pathology).
@@ -133,16 +142,17 @@ def predict(post: OnlinePosterior, norm: Normalization,
     return norm.y_mean + norm.y_std * mu_n, (norm.y_std ** 2) * var_n
 
 
-def mean_fn(post: OnlinePosterior, norm: Normalization):
+def mean_fn(post: OnlinePosterior, norm: Normalization, kernel: str = "se"):
     """Raw-space predictive mean closure z -> (Ny,) (for MPC dynamics)."""
     def f(z):
-        return predict(post, norm, z)[0]
+        return predict(post, norm, z, kernel)[0]
     return f
 
 
 def condition(post: OnlinePosterior, norm: Normalization,
               z_raw: jnp.ndarray, y_raw: jnp.ndarray,
-              novelty_threshold: float = 1e-6) -> OnlinePosterior:
+              novelty_threshold: float = 1e-6,
+              kernel: str = "se") -> OnlinePosterior:
     """Bayesian update on one observed transition (z, y).
 
     Bordered Schur-complement inverse update at slot ``count`` + O(C^2)
@@ -183,7 +193,7 @@ def condition(post: OnlinePosterior, norm: Normalization,
         ell = jnp.exp(log_ell)
         sf2 = jnp.exp(log_sf2)
         # kernel vs the CURRENT live points (insert slot still sentinel)
-        ks = se_ard_cross(zn[None], post.x, ell, sf2)[0]
+        ks = kernel_cross(kernel, zn[None], post.x, ell, sf2)[0]
         ks = jnp.where(rows < m, ks, 0.0)
         # pinned precision: s_raw is the same Schur-complement
         # cancellation as the predictive variance, and it feeds both the

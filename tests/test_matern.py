@@ -130,11 +130,131 @@ def test_matern_guards():
     with pytest.raises(ValueError, match="EM"):
         GP(x, y, gp_method="EM", kernel="matern52", multistart=1,
            max_iters=10)
-    with pytest.raises(ValueError, match="SE kernel only"):
-        GP(x, y, kernel="matern32", inducing=8, multistart=1, max_iters=10)
     with pytest.raises(ValueError, match="unknown kernel"):
         GP(x, y, kernel="rbf", multistart=1, max_iters=10)
     gp = GP(x, y, gp_method="TA", kernel="matern52", multistart=1,
             max_iters=10)
     with pytest.raises(ValueError, match="EM"):
         gp.set_method("EM")
+
+
+def test_matern_sparse_vfe_exact_at_full_inducing():
+    """The Titsias bound and the drop-in posterior are kernel-family
+    generic: with kernel='matern52' and Z = X the bound is tight and the
+    sparse GPPosterior reproduces the exact predictions."""
+    import jax.numpy as jnp
+    from gpmpc_tpu.models import gp_core, sparse
+    from gpmpc_tpu.utils.config import GPConfig
+
+    cfg = GPConfig(multistart=1, max_iters=100, kernel="matern52")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-2, 2, (80, 3)))
+    # observation noise keeps the trained sn2 away from the floor — the
+    # Z=X bound gap scales like jitter/sn2, so a noiseless fit would turn
+    # this tightness check into a jitter measurement
+    y = (jnp.stack([jnp.abs(x[:, 0]), jnp.cos(x[:, 2])], axis=-1)
+         + 0.05 * jnp.asarray(rng.normal(size=(80, 2))))
+    hyp, _ = gp_core.fit(x, y, cfg, jax.random.PRNGKey(0))
+    for d in range(2):
+        ex = gp_core.nll_single(hyp.log_ell[d], hyp.log_sf2[d],
+                                hyp.log_sn2[d], hyp.mean_w[d],
+                                x, y[:, d], cfg, "zero")
+        vf = sparse.vfe_nll_single(hyp.log_ell[d], hyp.log_sf2[d],
+                                   hyp.log_sn2[d], hyp.mean_w[d],
+                                   x, x, y[:, d], cfg, "zero")
+        assert abs(float(vf - ex)) < 1e-4 * (1.0 + abs(float(ex)))
+        # strict subset keeps the upper-bound property too
+        z = x[sparse.select_inducing(x, 16)]
+        vf_sub = sparse.vfe_nll_single(hyp.log_ell[d], hyp.log_sf2[d],
+                                       hyp.log_sn2[d], hyp.mean_w[d],
+                                       z, x, y[:, d], cfg, "zero")
+        assert float(vf_sub) >= float(ex) - 1e-8
+    post = gp_core.posterior(x, y, hyp, cfg)
+    sp = sparse.sparse_posterior(x, y, x, hyp, cfg)
+    zt = jnp.asarray(rng.uniform(-2, 2, (25, 3)))
+    mu_e, var_e = jax.vmap(lambda z: gp_core.predict(post, z, cfg))(zt)
+    mu_s, var_s = jax.vmap(lambda z: gp_core.predict(sp, z, cfg))(zt)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_e), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_e),
+                               atol=1e-4)
+
+
+def test_matern_sparse_gp_class_fit():
+    """GP(kernel='matern52', inducing=M) trains through the VFE bound and
+    predicts the held-out kinked target well."""
+    n = 240
+    x = RNG.uniform(-2.0, 2.0, (n, 2))
+    y = (np.abs(x[:, :1]) + 0.3 * np.sin(3.0 * x[:, 1:])
+         + 0.01 * RNG.standard_normal((n, 1)))
+    xt = RNG.uniform(-1.8, 1.8, (60, 2))
+    yt = np.abs(xt[:, :1]) + 0.3 * np.sin(3.0 * xt[:, 1:])
+    gp = GP(x, y, mean_func="zero", gp_method="TA", multistart=2,
+            max_iters=150, seed=3, kernel="matern52", inducing=48)
+    smse, _, _ = gp.validate(xt, yt, verbose=False)
+    assert float(np.mean(np.asarray(smse))) < 0.05
+
+
+def test_matern_online_condition_matches_batch_retrain():
+    """The Schur-complement streaming update is kernel-family generic:
+    conditioning a Matérn-3/2 posterior on new points equals rebuilding
+    the posterior from scratch on the union data."""
+    import jax.numpy as jnp
+    from gpmpc_tpu.models import gp_core
+    from gpmpc_tpu.parallel import online_gp
+    from gpmpc_tpu.utils.config import GPConfig
+
+    rng = np.random.default_rng(9)
+    d, ny = 3, 2
+    x = rng.uniform(-2, 2, size=(15, d))
+    y = np.stack([np.sin(x @ np.ones(d)), np.cos(x @ np.ones(d))], axis=1)
+    hyper = gp_core.GPHypers(
+        log_ell=jnp.zeros((ny, d)), log_sf2=jnp.zeros(ny),
+        log_sn2=jnp.full(ny, -4.0), mean_w=jnp.zeros((ny, 0)))
+    gp = GP(x, y, hyper=hyper, normalize=True, kernel="matern32",
+            optimizer_opts=dict(min_noise=0.0, jitter=0.0))
+    post, norm = online_gp.from_gp(gp, capacity=32)
+
+    new_z = rng.uniform(-2, 2, size=(3, d))
+    new_y = np.stack([np.sin(new_z @ np.ones(d)),
+                      np.cos(new_z @ np.ones(d))], axis=1)
+    for z, yv in zip(new_z, new_y):
+        post = online_gp.condition(post, norm, jnp.asarray(z),
+                                   jnp.asarray(yv), kernel="matern32")
+    assert int(post.count) == 18
+
+    x_all = np.concatenate([x, new_z])
+    y_all = np.concatenate([y, new_y])
+    xn = (x_all - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+    yn = (y_all - np.asarray(norm.y_mean)) / np.asarray(norm.y_std)
+    cfg = GPConfig(min_noise=0.0, jitter=0.0, kernel="matern32")
+    ref_post = gp_core.posterior(jnp.asarray(xn), jnp.asarray(yn),
+                                 gp.hyper, cfg)
+    zq = rng.standard_normal(d)
+    mu, var = online_gp.predict(post, norm, jnp.asarray(zq),
+                                kernel="matern32")
+    zqn = (zq - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+    mu_n, var_n = gp_core.predict(ref_post, jnp.asarray(zqn), cfg)
+    mu_ref = (np.asarray(norm.y_mean)
+              + np.asarray(norm.y_std) * np.asarray(mu_n))
+    var_ref = np.asarray(norm.y_std) ** 2 * np.asarray(var_n)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-8)
+
+
+def test_matern_save_load_preserves_kernel(tmp_path):
+    """A persisted Matérn GP must reload as Matérn (round-4 fix: the
+    kernel field was not serialized, silently degrading to SE)."""
+    x = RNG.uniform(-2, 2, (40, 3))
+    y = np.sin(x[:, :1])
+    gp = GP(x, y, gp_method="TA", kernel="matern52", multistart=1,
+            max_iters=60, seed=1)
+    path = str(tmp_path / "m52.npz")
+    gp.save_model(path)
+    gp2 = GP.load_model(path)
+    assert gp2.cfg.kernel == "matern52"
+    z = np.array([0.3, -0.5, 1.1])
+    mu1, var1 = gp.predict(z)
+    mu2, var2 = gp2.predict(z)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2),
+                               atol=1e-10)
