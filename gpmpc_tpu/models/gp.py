@@ -4,7 +4,7 @@ TPU-native rebuild of ``gp_mpc/gp_class.py::GP`` [SURVEY C5]: stores training
 data, z-score normalizes inputs/outputs, trains hyperparameters (multistart
 L-BFGS on the Cholesky NLL — the functional core in
 :mod:`gpmpc_tpu.models.gp_core`), precomputes per-dim factorizations, selects
-the uncertainty-propagation scheme (``set_method('ME'|'TA'|'EM'|'UT')``), predicts,
+the uncertainty-propagation scheme (``set_method('ME'|'TA'|'EM'|'UT'|'GH')``), predicts,
 validates (SMSE / MNLP), and persists to ``.npz``.
 
 Like the reference, the data set is fixed after construction; online

@@ -20,6 +20,12 @@ z = [x; u] (raw, unnormalized space):
   dims included) for the SE-ARD kernel under Gaussian input; closed forms
   vectorized as batched matmuls.
 
+Beyond-reference additions with the same signature: UT (unscented sigma
+points, 2D+1 evaluations, any kernel/mean) and GH (tensor Gauss–Hermite
+quadrature, order**D evaluations, any kernel/mean — converges to EM's
+exact SE answer with order, and is the full-covariance scheme for the
+Matérn families).
+
 Each returns ``(mu_y (Ny,), Sigma_y (Ny,Ny), C (D,Ny))`` where
 ``C = cov(z, y)`` is the input-output cross-covariance (needed for delta-state
 targets and hybrid models; zero for ME).
@@ -261,20 +267,83 @@ def propagate_ut(post: gp_core.GPPosterior, norm: Normalization,
     return mu, sigma, c
 
 
+def propagate_gh(post: gp_core.GPPosterior, norm: Normalization,
+                 cfg: GPConfig, mu_z: jnp.ndarray, cov_z: jnp.ndarray,
+                 *, order: int = 3
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gauss–Hermite quadrature moment matching (beyond-reference).
+
+    Tensor-product GH quadrature of the exact moment integrals
+
+        mu_y    = E[mu(z)],
+        Sigma_y = Cov[mu(z)] + E[diag(var(z))],
+        C       = Cov[z, mu(z)],
+
+    under z ~ N(mu_z, Sigma_z).  Per input dim, ``order``-point GH is
+    exact for polynomial integrands up to degree 2*order-1 (order=3:
+    degree 5 — two orders beyond UT's third-order sigma-point rule), and
+    unlike EM's closed forms [SURVEY C3d] it is KERNEL-GENERIC: this is
+    the full-covariance moment-matching scheme for the Matérn families
+    (and any mean function), converging to EM's exact SE answer as
+    ``order`` grows.
+
+    Cost: order**D posterior mean/variance evaluations, batched as ONE
+    vmapped program — a (P, N) cross-kernel matmul per step that the MXU
+    eats at MPC sizes (D=6 four-tank: 729 points x N~100 training rows).
+    All GH weights are positive, so Sigma_y is PSD by construction (the
+    chance-tightening requirement along the horizon).  Nodes/weights are
+    trace-time numpy constants (static shapes).
+    """
+    import numpy as _np
+    d = mu_z.shape[0]
+    dtype = mu_z.dtype
+    n_pts = order ** d
+    if n_pts > 20000:
+        raise ValueError(
+            f"GH tensor grid has order**D = {order}**{d} = {n_pts} points "
+            "(cap 20000); lower `order` or use gp_method='UT'")
+    # probabilists' Hermite: sum_i w_i f(x_i) ~ sqrt(2 pi) E[f(X)], X~N(0,1)
+    nodes_1d, w_1d = _np.polynomial.hermite_e.hermegauss(order)
+    w_1d = w_1d / _np.sqrt(2.0 * _np.pi)                 # normalized: sum=1
+    grids = _np.meshgrid(*([nodes_1d] * d), indexing="ij")
+    xi = _np.stack([g.reshape(-1) for g in grids], axis=-1)     # (P, D)
+    wg = _np.ones(n_pts)
+    for g in _np.meshgrid(*([w_1d] * d), indexing="ij"):
+        wg = wg * g.reshape(-1)
+    xi = jnp.asarray(xi, dtype)
+    wg = jnp.asarray(wg, dtype)
+
+    # same jitter floor as UT: keeps the factorization (and its jacfwd
+    # derivative inside the solver trace) defined at Sigma_z = 0
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
+    root = chol_small(cov_z + eps * jnp.eye(d, dtype=dtype))     # lower
+    offsets = xi @ root.T                                        # (P, D)
+    pts = mu_z[None, :] + offsets
+
+    mus, vars_ = jax.vmap(
+        lambda z: _raw_mean_var(post, norm, cfg, z))(pts)        # (P, Ny)
+    mu = wg @ mus
+    dev = mus - mu[None, :]                                      # (P, Ny)
+    sigma = (dev * wg[:, None]).T @ dev + jnp.diag(wg @ vars_)
+    c = (offsets * wg[:, None]).T @ dev                          # (D, Ny)
+    return mu, sigma, c
+
+
 PROPAGATORS = {
     "ME": propagate_me,
     "TA": propagate_ta,
     "EM": propagate_em,
     "UT": propagate_ut,
+    "GH": propagate_gh,
 }
 
 
 def get_propagator(method: str):
     """Select the propagation scheme [SURVEY C5 ``set_method('ME'|'TA'|'EM')``;
-    'UT' is a beyond-reference addition]."""
+    'UT' and 'GH' are beyond-reference additions]."""
     try:
         return PROPAGATORS[method.upper()]
     except KeyError:
         raise ValueError(
-            f"unknown gp_method {method!r}; expected ME, TA, EM, or UT"
+            f"unknown gp_method {method!r}; expected ME, TA, EM, UT, or GH"
         ) from None

@@ -258,3 +258,39 @@ def test_matern_save_load_preserves_kernel(tmp_path):
     np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-10)
     np.testing.assert_allclose(np.asarray(var1), np.asarray(var2),
                                atol=1e-10)
+
+
+@pytest.mark.slow
+def test_matern_gh_closed_loop_mpc():
+    """Flagship beyond-reference combination: Matérn-5/2 dynamics GP with
+    Gauss-Hermite full-covariance propagation (the EM analog that exists
+    for non-SE kernels) inside the chance-tightened closed loop."""
+    import jax.numpy as jnp
+    dt = 3.0
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=dt,
+                  R=np.diag([1e-3] * 4), clip_negative=True,
+                  dtype=jnp.float64, integrator_substeps=10)
+    X, Y = model.generate_training_data(
+        50, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(7))
+    gp = GP(X, Y, mean_func="zero", gp_method="GH", multistart=2,
+            max_iters=150, seed=5, kernel="matern52")
+    # moment-map smoke through the GP surface first
+    mu, cov = gp.predict(np.full(4, 8.0), np.full(2, 2.0),
+                         cov=0.01 * np.eye(6))
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.min(np.linalg.eigvalsh(np.asarray(cov))) > -1e-10
+
+    mpc = MPC(horizon=5 * dt, model=model, gp=gp, gp_method="GH",
+              discrete_method="gp",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              xlb=[0.5, 0.5, 0.1, 0.1], xub=[14.0, 25.0, 8.0, 8.0],
+              percentile=0.95, feedback=True, cov_updates=2)
+    x0 = np.array([8.0, 9.0, 1.0, 1.0])
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    xs, us = mpc.solve(x0=x0, sim_time=6 * dt, x_sp=x_sp, noise=False)
+    xs = np.asarray(xs)
+    assert np.all(np.isfinite(xs))
+    assert np.linalg.norm(xs[-1][:2] - x_sp[:2]) < 1.5

@@ -207,3 +207,72 @@ def test_ut_sigma_psd_and_matches_ta_on_near_linear_mean():
                                rtol=2e-3, atol=1e-7)
     evals = np.linalg.eigvalsh(np.asarray(sig_ut))
     assert evals.min() > -1e-10
+
+
+def test_gh_converges_to_em_on_se():
+    """EM is exact for SE kernels under Gaussian input, so GH quadrature
+    must converge to it as the order grows — the correctness anchor for
+    the kernel-generic scheme."""
+    from gpmpc_tpu.models.propagate import propagate_gh
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup(ny=2)
+    mu_e, sig_e, c_e = propagate_em(post, norm, cfg, jnp.array(m),
+                                    jnp.array(s))
+
+    errs = {}
+    for order in (2, 6):
+        mu, sig, c = propagate_gh(post, norm, cfg, jnp.array(m),
+                                  jnp.array(s), order=order)
+        errs[order] = max(np.abs(np.asarray(mu) - np.asarray(mu_e)).max(),
+                          np.abs(np.asarray(sig) - np.asarray(sig_e)).max(),
+                          np.abs(np.asarray(c) - np.asarray(c_e)).max())
+    assert errs[6] < 0.3 * errs[2] + 1e-12, errs
+    np.testing.assert_allclose(errs[6], 0.0, atol=2e-3)
+    # the GP-variance term is only quadrature-approximated (EM integrates
+    # it exactly), so exact agreement is not expected — but order 6 must
+    # already sit well inside the MC noise floor of the UT test's bars
+    assert errs[6] < 5e-3
+
+
+def test_gh_matern_against_monte_carlo_beats_ut():
+    """On a Matérn-5/2 posterior (no EM closed forms exist) GH is the
+    high-accuracy full-covariance scheme: closer to the MC ground truth
+    than UT on every moment block."""
+    import jax
+    from gpmpc_tpu.models import gp_core as gc
+    from gpmpc_tpu.models.propagate import propagate_gh, propagate_ut
+
+    x, y, ells, sf2s, sn2s, _, _, norm, m, s = _setup(ny=2)
+    cfg = GPConfig(min_noise=0.0, jitter=0.0, kernel="matern52")
+    hyp = gp_core.GPHypers(jnp.log(jnp.array(ells)),
+                           jnp.log(jnp.array(sf2s)),
+                           jnp.log(jnp.array(sn2s)), jnp.zeros((2, 0)))
+    post = gc.posterior(jnp.array(x), jnp.array(y), hyp, cfg)
+
+    mu_g, sig_g, c_g = propagate_gh(post, norm, cfg, jnp.array(m),
+                                    jnp.array(s), order=5)
+    mu_u, sig_u, c_u = propagate_ut(post, norm, cfg, jnp.array(m),
+                                    jnp.array(s))
+
+    zs = RNG.multivariate_normal(m, s, size=400_000)
+    mu_s, var_s = jax.vmap(lambda z: gc.predict(post, z, cfg))(jnp.array(zs))
+    mus, vars_ = np.asarray(mu_s), np.asarray(var_s)
+    mc_mean = mus.mean(axis=0)
+    mc_cov = np.diag(vars_.mean(axis=0)) + np.cov(mus.T)
+
+    np.testing.assert_allclose(np.asarray(mu_g), mc_mean, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sig_g), mc_cov,
+                               atol=0.02 * float(mc_cov.max()))
+    err_gh = np.abs(np.asarray(sig_g) - mc_cov).max()
+    err_ut = np.abs(np.asarray(sig_u) - mc_cov).max()
+    assert err_gh <= err_ut + 1e-9, (err_gh, err_ut)
+    # PSD by construction (positive GH weights)
+    assert np.min(np.linalg.eigvalsh(
+        0.5 * (np.asarray(sig_g) + np.asarray(sig_g).T))) > -1e-10
+
+
+def test_gh_point_cap_guard():
+    from gpmpc_tpu.models.propagate import propagate_gh
+    x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup(d=3)
+    import pytest
+    with pytest.raises(ValueError, match="cap"):
+        propagate_gh(post, norm, cfg, jnp.zeros(3), jnp.eye(3), order=30)
