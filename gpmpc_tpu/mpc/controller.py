@@ -151,6 +151,7 @@ class MPC:
                  include_noise_cov: bool = True,
                  cov_updates: int = 2,
                  online_capacity: Optional[int] = None,
+                 online_policy: str = "saturate",
                  solve_precision: Optional[str] = None,
                  dtype=None):
         self.model = model
@@ -380,6 +381,10 @@ class MPC:
             self._og = _og
             # conditioning consumes cross-kernel rows only — family-agnostic
             self._online_kernel = gp.cfg.kernel
+            if online_policy not in ("saturate", "fifo"):
+                raise ValueError("online_policy must be 'saturate' or "
+                                 f"'fifo'; got {online_policy!r}")
+            self.online_policy = online_policy
             self.online_post0, _ = _og.from_gp(gp, online_capacity)
             # in hybrid mode the GP models the residual Bd^+ (x+ - rk4(x,u)),
             # NOT the raw next state; conditioning must map the observed
@@ -804,7 +809,8 @@ class MPC:
                 else:
                     y_obs = x_next
                 opost = self._og.condition(opost, consts.norm, z_obs, y_obs,
-                                           kernel=self._online_kernel)
+                                           kernel=self._online_kernel,
+                                           policy=self.online_policy)
             out = (x, u_cmd, sigmas[1, :self.Nx, :self.Nx], info)
             return (x_next, warm, u_cmd, opost), out
 

@@ -102,6 +102,7 @@ class BatchedStudy:
                  Q=None, R=None, ulb=None, uub=None,
                  capacity: Optional[int] = None,
                  condition_online: bool = True,
+                 online_policy: str = "saturate",
                  solver_opts: Optional[dict] = None,
                  solve_precision: Optional[str] = None,
                  mesh: Optional[Mesh] = None):
@@ -112,6 +113,10 @@ class BatchedStudy:
         dtype = model.dtype
         self.dtype = dtype
         self.condition_online = bool(condition_online)
+        if online_policy not in ("saturate", "fifo"):
+            raise ValueError("online_policy must be 'saturate' or 'fifo'; "
+                             f"got {online_policy!r}")
+        self.online_policy = online_policy
 
         self.Q = jnp.asarray(Q if Q is not None else np.eye(self.Nx), dtype)
         self.R = jnp.asarray(R if R is not None else 0.01 * np.eye(self.Nu),
@@ -207,7 +212,8 @@ class BatchedStudy:
             if self.condition_online:
                 z = jnp.concatenate([x, u])
                 post = online_gp.condition(post, consts.norm, z, x_next,
-                                           kernel=self.kernel)
+                                           kernel=self.kernel,
+                                           policy=self.online_policy)
             return (x_next, res.state, post), (x, u, res.obj)
 
         (x_last, _, post), (xs, us, objs) = jax.lax.scan(

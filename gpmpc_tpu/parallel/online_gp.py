@@ -152,32 +152,85 @@ def mean_fn(post: OnlinePosterior, norm: Normalization, kernel: str = "se"):
 def condition(post: OnlinePosterior, norm: Normalization,
               z_raw: jnp.ndarray, y_raw: jnp.ndarray,
               novelty_threshold: float = 1e-6,
-              kernel: str = "se") -> OnlinePosterior:
+              kernel: str = "se",
+              policy: str = "saturate") -> OnlinePosterior:
     """Bayesian update on one observed transition (z, y).
 
     Bordered Schur-complement inverse update at slot ``count`` + O(C^2)
     alpha refresh.  The observation is DROPPED when (a) the buffer is full
-    (saturating policy), or (b) it fails the novelty gate: if the Schur
-    complement s = k** - k*' invK k* is a tiny fraction of the prior
-    variance, the point is (numerically) linearly dependent on the existing
-    set — it adds no information, and folding it in amplifies roundoff by
-    1/s per update, which compounds catastrophically at steady state
-    (observed: 1e143 blow-ups on near-duplicate points).  This is the
-    classic kernel linear-independence test of online sparse GPs
-    (Csato & Opper).  The gate is global across output dims (the slot
+    under the default ``policy='saturate'``, or (b) it fails the novelty
+    gate: if the Schur complement s = k** - k*' invK k* is a tiny fraction
+    of the prior variance, the point is (numerically) linearly dependent
+    on the existing set — it adds no information, and folding it in
+    amplifies roundoff by 1/s per update, which compounds catastrophically
+    at steady state (observed: 1e143 blow-ups on near-duplicate points).
+    This is the classic kernel linear-independence test of online sparse
+    GPs (Csato & Opper).  The gate is global across output dims (the slot
     insert is shared): min_d s_d / (sf2_d + sn2_d) must exceed the
     threshold.
+
+    ``policy='fifo'`` keeps adapting past capacity: the OLDEST live point
+    (insertion order, starting with the original training set) is evicted
+    by an exact O(C) Schur-complement downdate of the bordered inverse —
+    zero its row/col back to the identity padding and re-sentinel its
+    input — then the new point is inserted into the freed slot.  During
+    the fill phase (count < capacity) the downdate is algebraically a
+    no-op on the virgin slot, so fifo and saturate coincide until the
+    buffer is full.  This is the long-deployment mode: a saturated buffer
+    under 'saturate' silently stops adapting.  (``count`` then wraps into
+    [capacity, 2*capacity) so the insertion cursor ``count % capacity``
+    keeps cycling without int32 growth.)
     """
+    if policy not in ("saturate", "fifo"):
+        raise ValueError(f"policy must be 'saturate' or 'fifo'; "
+                         f"got {policy!r}")
     c = post.x.shape[0]
     m = post.count
     full = m >= c
-    idx = jnp.minimum(m, c - 1)
+    if policy == "fifo":
+        idx = m % c                     # insertion cursor, wraps after fill
+    else:
+        idx = jnp.minimum(m, c - 1)
 
     zn = (z_raw - norm.z_mean) / norm.z_std
     yn = (y_raw - norm.y_mean) / norm.y_std
 
     rows = jnp.arange(c)
     is_idx = rows == idx
+
+    # pre-eviction posterior: a novelty-REJECTED insert must leave the
+    # posterior untouched, including under fifo where the eviction below
+    # has already been applied speculatively
+    post0 = post
+
+    if policy == "fifo":
+        # exact downdate evicting slot idx: for P = (K + sn2 I)^-1 padded,
+        # the inverse WITHOUT row/col j is P_~j,~j - q q'/p_jj (q = P[:,j],
+        # Schur complement in reverse), and the evicted alpha is the O(C)
+        # form alpha - q * (alpha_j / p_jj).  Row/col j is masked back to
+        # the identity padding explicitly (the subtraction leaves last-ulp
+        # residuals there), and x_j re-sentineled.  On a virgin slot
+        # (q = e_j, p_jj = 1) every step reproduces the inputs exactly, so
+        # this branch is safe to run unconditionally.
+        def evict(inv_k, alpha_old):
+            q = inv_k[:, idx]
+            pjj = inv_k[idx, idx]
+            inv_e = inv_k - jnp.outer(q, q) / pjj
+            inv_e = jnp.where(is_idx[:, None] | is_idx[None, :], 0.0, inv_e)
+            inv_e = inv_e + (is_idx[:, None]
+                             & is_idx[None, :]).astype(inv_k.dtype)
+            alpha_e = jnp.where(is_idx, 0.0,
+                                alpha_old - q * (alpha_old[idx] / pjj))
+            return inv_e, alpha_e
+
+        inv_evicted, alpha_evicted = jax.vmap(evict)(post.inv_k, post.alpha)
+        post = post._replace(
+            x=post.x.at[idx].set(_SENTINEL),
+            y=post.y.at[idx].set(0.0),
+            inv_k=inv_evicted, alpha=alpha_evicted)
+        live = (rows < jnp.minimum(m, c)) & ~is_idx
+    else:
+        live = rows < m
 
     # HBM-traffic note (this is the hot op of the batched study — the inv_k
     # buffers are (B, Ny, C, C)): per output dim, inv_k is read ONCE for the
@@ -194,7 +247,7 @@ def condition(post: OnlinePosterior, norm: Normalization,
         sf2 = jnp.exp(log_sf2)
         # kernel vs the CURRENT live points (insert slot still sentinel)
         ks = kernel_cross(kernel, zn[None], post.x, ell, sf2)[0]
-        ks = jnp.where(rows < m, ks, 0.0)
+        ks = jnp.where(live, ks, 0.0)
         # pinned precision: s_raw is the same Schur-complement
         # cancellation as the predictive variance, and it feeds both the
         # novelty gate and the 1/s scaling of the bordered update
@@ -220,21 +273,29 @@ def condition(post: OnlinePosterior, norm: Normalization,
 
     wb, s, ok, e = jax.vmap(gate_and_vectors)(
         post.log_ell, post.log_sf2, post.sn2, post.inv_k, post.alpha, yn)
-    add = (~full) & jnp.all(ok)
+    if policy == "fifo":
+        add = jnp.all(ok)               # eviction always frees the slot
+    else:
+        add = (~full) & jnp.all(ok)
 
-    x_new = post.x.at[idx].set(jnp.where(add, zn, post.x[idx]))
-    y_new = post.y.at[idx].set(jnp.where(add, yn, post.y[idx]))
+    x_new = jnp.where(add, post.x.at[idx].set(zn), post0.x)
+    y_new = jnp.where(add, post.y.at[idx].set(yn), post0.y)
 
     # second pass: fused rank-1 inverse update + O(C) alpha refresh
-    def apply(inv_k, alpha_old, wb_d, s_d, e_d):
+    def apply(inv_k, alpha_old, inv0, alpha0, wb_d, s_d, e_d):
         upd = (wb_d[:, None] * wb_d[None, :]) / s_d \
             - (is_idx[:, None] & is_idx[None, :]).astype(inv_k.dtype)
-        inv_new = jnp.where(add, inv_k + upd, inv_k)
-        alpha = jnp.where(add, alpha_old - wb_d * e_d, alpha_old)
+        inv_new = jnp.where(add, inv_k + upd, inv0)
+        alpha = jnp.where(add, alpha_old - wb_d * e_d, alpha0)
         return inv_new, alpha
 
-    inv_new, alpha_new = jax.vmap(apply)(post.inv_k, post.alpha, wb, s, e)
+    inv_new, alpha_new = jax.vmap(apply)(post.inv_k, post.alpha,
+                                         post0.inv_k, post0.alpha, wb, s, e)
+    mp1 = m + 1
+    if policy == "fifo":
+        # wrap into [c, 2c): keeps the cursor m % c cycling forever
+        mp1 = jnp.where(mp1 >= 2 * c, mp1 - c, mp1)
     return OnlinePosterior(
         x=x_new, y=y_new, inv_k=inv_new, alpha=alpha_new,
-        count=jnp.where(add, m + 1, m).astype(jnp.int32),
+        count=jnp.where(add, mp1, m).astype(jnp.int32),
         log_ell=post.log_ell, log_sf2=post.log_sf2, sn2=post.sn2)

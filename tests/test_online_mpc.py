@@ -145,3 +145,39 @@ def test_solve_mc_with_online_conditioning(setup):
     err = np.abs(xs[:, -1, :2] - x_sp[:2])
     assert np.median(err) < 0.5, err
     assert err.max() < 3.0, err
+
+
+def test_online_mpc_fifo_keeps_adapting_past_capacity(setup):
+    """online_policy='fifo' with a TIGHT buffer: the loop must keep
+    conditioning after the buffer fills (count keeps advancing past
+    capacity because evictions free slots), stay finite, and still reach
+    the setpoint region."""
+    model, gp = setup
+    mpc = MPC(horizon=5 * DT, model=model, gp=gp, gp_method="ME",
+              discrete_method="gp",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              feedback=False, percentile=None, cov_updates=1,
+              online_capacity=32, online_policy="fifo")
+    xs, us = mpc.solve(x0=np.array([8.0, 9.0, 1.0, 1.0]),
+                       sim_time=25 * DT,
+                       x_sp=np.array([12.4, 12.7, 1.8, 1.4]),
+                       noise=True, key=jax.random.PRNGKey(5))
+    xs = np.asarray(xs)
+    assert np.isfinite(xs).all()
+    # buffer full (25 + 7 inserts) AND conditioning continued past it:
+    # under fifo the count keeps advancing beyond the capacity
+    assert mpc.last_run["gp_points"] > 32
+    err = np.abs(xs[-10:, :2] - np.array([12.4, 12.7])).mean()
+    assert err < 0.5, err
+
+
+def test_online_policy_validates():
+    x = np.random.default_rng(0).uniform(1.0, 4.0, (12, 6))
+    y = x[:, :4] * 1.02
+    gp = GP(x, y, hyper=None, multistart=1, max_iters=20, seed=0)
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=DT,
+                  clip_negative=True, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="online_policy"):
+        MPC(horizon=3 * DT, model=model, gp=gp, discrete_method="gp",
+            gp_method="ME", online_capacity=16, online_policy="ring")

@@ -198,3 +198,76 @@ def test_study_solve_precision_validates():
         BatchedStudy(model, gp, horizon=9.0, solve_precision="bf16")
     s = BatchedStudy(model, gp, horizon=9.0, solve_precision="default")
     assert s.solve_precision == "default"
+
+
+def test_condition_fifo_matches_batch_on_survivor_window():
+    """policy='fifo' past capacity: oldest points are evicted by the exact
+    Schur downdate; the resulting posterior must equal one built from
+    scratch on exactly the surviving window (original tail + all inserts)."""
+    gp = _small_gp(n=15)
+    cap = 18
+    post, norm = online_gp.from_gp(gp, capacity=cap)
+
+    n_new = 7
+    new_z = RNG.uniform(-2, 2, size=(n_new, 3))
+    new_y = np.stack([np.sin(new_z @ np.ones(3)),
+                      np.cos(new_z @ np.ones(3))], axis=1)
+    for z, y in zip(new_z, new_y):
+        post = online_gp.condition(post, norm, jnp.asarray(z),
+                                   jnp.asarray(y), policy="fifo")
+    # 3 inserts fill to capacity, 4 more wrap and evict originals 0..3
+    assert int(post.count) == 15 + n_new
+
+    n_evicted = 15 + n_new - cap
+    x_surv = np.concatenate([np.asarray(gp.X_raw)[n_evicted:], new_z])
+    y_surv = np.concatenate([np.asarray(gp.Y_raw)[n_evicted:], new_y])
+    xn = (x_surv - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+    yn = (y_surv - np.asarray(norm.y_mean)) / np.asarray(norm.y_std)
+    cfg = GPConfig(min_noise=0.0, jitter=0.0)
+    ref_post = gp_core.posterior(jnp.asarray(xn), jnp.asarray(yn),
+                                 gp.hyper, cfg)
+
+    for _ in range(4):
+        zq = RNG.standard_normal(3)
+        mu, var = online_gp.predict(post, norm, jnp.asarray(zq))
+        zqn = (zq - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+        mu_n, var_n = gp_core.predict(ref_post, jnp.asarray(zqn), cfg)
+        mu_ref = (np.asarray(norm.y_mean)
+                  + np.asarray(norm.y_std) * np.asarray(mu_n))
+        var_ref = np.asarray(norm.y_std) ** 2 * np.asarray(var_n)
+        np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-7)
+
+
+def test_condition_fifo_rejected_insert_leaves_posterior_untouched():
+    """A novelty-rejected point under fifo must NOT evict: the speculative
+    downdate has to roll back to the pre-call posterior exactly."""
+    gp = _small_gp(n=15)
+    post, norm = online_gp.from_gp(gp, capacity=15)   # full from the start
+    dup_z = np.asarray(gp.X_raw)[3]                   # exact duplicate
+    dup_y = np.asarray(gp.Y_raw)[3]
+    post2 = online_gp.condition(post, norm, jnp.asarray(dup_z),
+                                jnp.asarray(dup_y), policy="fifo")
+    assert int(post2.count) == int(post.count)
+    for a, b in zip(post, post2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_condition_fifo_equals_saturate_during_fill():
+    """Before the buffer is full the fifo downdate is a no-op on the virgin
+    slot, so both policies must produce the same posterior (same update
+    algebra, different alpha-refresh path is not used here)."""
+    gp = _small_gp(n=12)
+    post_a, norm = online_gp.from_gp(gp, capacity=20)
+    post_b = post_a
+    new_z = RNG.uniform(-2, 2, size=(5, 3))
+    new_y = np.stack([np.sin(new_z @ np.ones(3)),
+                      np.cos(new_z @ np.ones(3))], axis=1)
+    for z, y in zip(new_z, new_y):
+        post_a = online_gp.condition(post_a, norm, jnp.asarray(z),
+                                     jnp.asarray(y), policy="saturate")
+        post_b = online_gp.condition(post_b, norm, jnp.asarray(z),
+                                     jnp.asarray(y), policy="fifo")
+    for a, b in zip(post_a, post_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12)
