@@ -379,8 +379,10 @@ class MPC:
                                  "discrete_method")
             from gpmpc_tpu.parallel import online_gp as _og
             self._og = _og
-            # conditioning consumes cross-kernel rows only — family-agnostic
+            # conditioning consumes cross-kernel rows only — family-agnostic;
+            # a nonzero prior mean rides along frozen (residual-based alpha)
             self._online_kernel = gp.cfg.kernel
+            self._online_mean_func = gp.cfg.mean_func
             if online_policy not in ("saturate", "fifo"):
                 raise ValueError("online_policy must be 'saturate' or "
                                  f"'fifo'; got {online_policy!r}")
@@ -810,7 +812,8 @@ class MPC:
                     y_obs = x_next
                 opost = self._og.condition(opost, consts.norm, z_obs, y_obs,
                                            kernel=self._online_kernel,
-                                           policy=self.online_policy)
+                                           policy=self.online_policy,
+                                           mean_func=self._online_mean_func)
             out = (x, u_cmd, sigmas[1, :self.Nx, :self.Nx], info)
             return (x_next, warm, u_cmd, opost), out
 

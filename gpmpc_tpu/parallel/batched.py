@@ -131,8 +131,10 @@ class BatchedStudy:
         self.mesh = mesh
 
         # online conditioning is kernel-family agnostic (cross-kernel rows
-        # + stationary diagonal only) — SE and Matérn both stream
+        # + stationary diagonal only) — SE and Matérn both stream; a nonzero
+        # trained prior mean rides along frozen (residual-based alpha)
         self.kernel = gp.cfg.kernel
+        self.mean_func = gp.cfg.mean_func
         cap = capacity or (gp.N + 64)
         self.post0, self.norm = online_gp.from_gp(gp, cap)
 
@@ -146,11 +148,12 @@ class BatchedStudy:
             u_guard_hi=self.uub + pad, norm=self.norm)
 
         kernel = self.kernel
+        mean_func = self.mean_func
 
         def dynamics(x, u, t, params: StudyParams):
             z = jnp.concatenate([x, u])
             return online_gp.predict(params.post, params.consts.norm, z,
-                                     kernel)[0]
+                                     kernel, mean_func)[0]
 
         def stage_cost(x, u, t, params: StudyParams):
             e = x - params.x_sp
@@ -213,7 +216,8 @@ class BatchedStudy:
                 z = jnp.concatenate([x, u])
                 post = online_gp.condition(post, consts.norm, z, x_next,
                                            kernel=self.kernel,
-                                           policy=self.online_policy)
+                                           policy=self.online_policy,
+                                           mean_func=self.mean_func)
             return (x_next, res.state, post), (x, u, res.obj)
 
         (x_last, _, post), (xs, us, objs) = jax.lax.scan(

@@ -35,6 +35,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from gpmpc_tpu.models.mean_functions import mean_value
 from gpmpc_tpu.models.propagate import Normalization
 from gpmpc_tpu.ops.kernels import kernel_cross
 
@@ -47,22 +48,24 @@ class OnlinePosterior(NamedTuple):
     x: jnp.ndarray        # (C, D) normalized inputs (sentinel-padded)
     y: jnp.ndarray        # (C, Ny) normalized targets (zero-padded)
     inv_k: jnp.ndarray    # (Ny, C, C) padded inverse of K + sn2 I
-    alpha: jnp.ndarray    # (Ny, C) invK y (zero on unused slots)
+    alpha: jnp.ndarray    # (Ny, C) invK (y - m(X)) (zero on unused slots)
     count: jnp.ndarray    # () int32 number of live points
     log_ell: jnp.ndarray  # (Ny, D)
     log_sf2: jnp.ndarray  # (Ny,)
     sn2: jnp.ndarray      # (Ny,) noise variance incl. floor
+    mean_w: jnp.ndarray   # (Ny, F) prior-mean weights (F=0 for 'zero')
 
 
 def from_gp(gp, capacity: int) -> Tuple[OnlinePosterior, Normalization]:
-    """Pad a trained :class:`gpmpc_tpu.models.gp.GP` posterior to capacity."""
-    if gp.cfg.mean_func != "zero":
-        # the online alpha refresh assumes a zero prior mean (condition()
-        # recomputes alpha = invK y without subtracting m(X)); a nonzero
-        # mean would silently bias every online prediction.  Mirrors the
-        # EM gate in GP.set_method.
-        raise ValueError("online conditioning requires mean_func='zero' "
-                         f"(got {gp.cfg.mean_func!r})")
+    """Pad a trained :class:`gpmpc_tpu.models.gp.GP` posterior to capacity.
+
+    The trained prior mean rides along (``mean_w`` + the GP's
+    ``cfg.mean_func``): ``alpha`` is residual-based exactly as in
+    ``gp_core.refit_posterior`` (invK (y - m(X))), so conditioning and
+    prediction below subtract/add m(.) in normalized space and the
+    bordered-inverse algebra is untouched — the mean weights are FROZEN
+    at their trained values (only the kernel posterior adapts online).
+    """
     if getattr(gp, "inducing", None):
         # the bordered-inverse update assumes post.inv_k is the data-space
         # precision (K + sn2 I)^-1; a sparse posterior's Lambda is not, so
@@ -88,7 +91,8 @@ def from_gp(gp, capacity: int) -> Tuple[OnlinePosterior, Normalization]:
     post = OnlinePosterior(
         x=x_pad, y=y_pad, inv_k=invk_pad, alpha=alpha_pad,
         count=jnp.asarray(n, jnp.int32),
-        log_ell=gp.hyper.log_ell, log_sf2=gp.hyper.log_sf2, sn2=sn2)
+        log_ell=gp.hyper.log_ell, log_sf2=gp.hyper.log_sf2, sn2=sn2,
+        mean_w=gp.hyper.mean_w)
     return post, gp.norm
 
 
@@ -103,30 +107,32 @@ def as_gp_posterior(post: OnlinePosterior):
     from gpmpc_tpu.models import gp_core
     hypers = gp_core.GPHypers(
         log_ell=post.log_ell, log_sf2=post.log_sf2,
-        log_sn2=jnp.log(post.sn2), mean_w=jnp.zeros(
-            post.log_sf2.shape + (0,), post.x.dtype))
+        log_sn2=jnp.log(post.sn2), mean_w=post.mean_w)
     return gp_core.GPPosterior(x=post.x, chol=post.inv_k, alpha=post.alpha,
                                inv_k=post.inv_k, hypers=hypers)
 
 
 def predict(post: OnlinePosterior, norm: Normalization,
-            z_raw: jnp.ndarray, kernel: str = "se"
+            z_raw: jnp.ndarray, kernel: str = "se",
+            mean_func: str = "zero"
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Raw-space predictive mean/variance at one point: (D,) -> ((Ny,), (Ny,)).
 
-    ``kernel`` is the trained GP's kernel family (``GPConfig.kernel``) —
-    the conditioning algebra below is family-agnostic (it only consumes
-    cross-kernel rows and the stationary diagonal k(x,x)=sf2), and the
-    sentinel-padding contract holds for every supported family: at the
-    1e6 normalized sentinel distance both the SE exp and the Matérn
-    poly*exp underflow to exactly 0.
+    ``kernel`` / ``mean_func`` are the trained GP's static config
+    (``GPConfig.kernel`` / ``GPConfig.mean_func``) — the conditioning
+    algebra below is family-agnostic (it only consumes cross-kernel rows
+    and the stationary diagonal k(x,x)=sf2), and the sentinel-padding
+    contract holds for every supported family: at the 1e6 normalized
+    sentinel distance both the SE exp and the Matérn poly*exp underflow
+    to exactly 0.  The prior mean enters exactly as in
+    ``gp_core.predict``: mu = m(z) + k*' alpha with residual-based alpha.
     """
     zn = (z_raw - norm.z_mean) / norm.z_std
 
-    def one(log_ell, log_sf2, inv_k, alpha):
+    def one(log_ell, log_sf2, inv_k, alpha, mw):
         ks = kernel_cross(kernel, zn[None], post.x, jnp.exp(log_ell),
                           jnp.exp(log_sf2))[0]
-        mu = jnp.dot(ks, alpha)
+        mu = mean_value(zn, mw, mean_func) + jnp.dot(ks, alpha)
         # matmul variance path — no triangular solves (backend pathology).
         # Pinned precision: sf2 - k*^T K^-1 k* is a small difference of
         # large quadratic forms (see gp_core.predict)
@@ -138,14 +144,15 @@ def predict(post: OnlinePosterior, norm: Normalization,
         return mu, var
 
     mu_n, var_n = jax.vmap(one)(post.log_ell, post.log_sf2, post.inv_k,
-                                post.alpha)
+                                post.alpha, post.mean_w)
     return norm.y_mean + norm.y_std * mu_n, (norm.y_std ** 2) * var_n
 
 
-def mean_fn(post: OnlinePosterior, norm: Normalization, kernel: str = "se"):
+def mean_fn(post: OnlinePosterior, norm: Normalization, kernel: str = "se",
+            mean_func: str = "zero"):
     """Raw-space predictive mean closure z -> (Ny,) (for MPC dynamics)."""
     def f(z):
-        return predict(post, norm, z, kernel)[0]
+        return predict(post, norm, z, kernel, mean_func)[0]
     return f
 
 
@@ -153,7 +160,8 @@ def condition(post: OnlinePosterior, norm: Normalization,
               z_raw: jnp.ndarray, y_raw: jnp.ndarray,
               novelty_threshold: float = 1e-6,
               kernel: str = "se",
-              policy: str = "saturate") -> OnlinePosterior:
+              policy: str = "saturate",
+              mean_func: str = "zero") -> OnlinePosterior:
     """Bayesian update on one observed transition (z, y).
 
     Bordered Schur-complement inverse update at slot ``count`` + O(C^2)
@@ -242,7 +250,7 @@ def condition(post: OnlinePosterior, norm: Normalization,
     # B=1024 study step from ~15 ms to ~9 ms on the v5e.
     # first pass: per-dim (ks, w) products + gate decisions (no writes yet;
     # the accept decision is global across dims because the slot is shared)
-    def gate_and_vectors(log_ell, log_sf2, sn2, inv_k, alpha_old, y_d):
+    def gate_and_vectors(log_ell, log_sf2, sn2, inv_k, alpha_old, y_d, mw):
         ell = jnp.exp(log_ell)
         sf2 = jnp.exp(log_sf2)
         # kernel vs the CURRENT live points (insert slot still sentinel)
@@ -268,11 +276,16 @@ def condition(post: OnlinePosterior, norm: Normalization,
         #   inv_new = inv_k + w_b w_b'/s - e_idx e_idx'
         # (the -e_idx e_idx' cancels the identity padding at the slot)
         wb = jnp.where(is_idx, -1.0, w)
-        e_d = (y_d - jnp.dot(ks, alpha_old)) / s
+        # residual target: alpha is invK (y - m(X)) throughout, so the
+        # bordered refresh conditions on r* = y* - m(z*) (mean FROZEN at
+        # its trained weights; only the kernel posterior adapts)
+        r_d = y_d - mean_value(zn, mw, mean_func)
+        e_d = (r_d - jnp.dot(ks, alpha_old)) / s
         return wb, s, ok_d, e_d
 
     wb, s, ok, e = jax.vmap(gate_and_vectors)(
-        post.log_ell, post.log_sf2, post.sn2, post.inv_k, post.alpha, yn)
+        post.log_ell, post.log_sf2, post.sn2, post.inv_k, post.alpha, yn,
+        post.mean_w)
     if policy == "fifo":
         add = jnp.all(ok)               # eviction always frees the slot
     else:
@@ -298,4 +311,5 @@ def condition(post: OnlinePosterior, norm: Normalization,
     return OnlinePosterior(
         x=x_new, y=y_new, inv_k=inv_new, alpha=alpha_new,
         count=jnp.where(add, mp1, m).astype(jnp.int32),
-        log_ell=post.log_ell, log_sf2=post.log_sf2, sn2=post.sn2)
+        log_ell=post.log_ell, log_sf2=post.log_sf2, sn2=post.sn2,
+        mean_w=post.mean_w)

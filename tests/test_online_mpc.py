@@ -107,17 +107,56 @@ def test_online_hybrid_conditions_in_residual_space(setup):
     assert err < 0.5, err
 
 
-def test_online_requires_zero_mean():
-    """from_gp must reject GPs trained with a nonzero prior mean — the
-    online alpha refresh assumes m(X) = 0."""
+def test_online_with_nonzero_mean_matches_batch_refit():
+    """Online conditioning with a trained nonzero prior mean must equal a
+    from-scratch posterior on the union data (mean weights frozen): alpha is
+    residual-based throughout, so the bordered-inverse algebra conditions on
+    r* = y* - m(z*) and prediction adds m(.) back."""
+    from gpmpc_tpu.models import gp_core
     from gpmpc_tpu.parallel import online_gp
+    from gpmpc_tpu.utils.config import GPConfig
 
     rng = np.random.default_rng(0)
-    X = rng.standard_normal((10, 3))
-    Y = rng.standard_normal((10, 2))
-    gp = GP(X, Y, mean_func="const", multistart=1, max_iters=30, seed=0)
-    with pytest.raises(ValueError, match="zero"):
-        online_gp.from_gp(gp, 16)
+    d, ny = 3, 2
+    X = rng.uniform(-2, 2, size=(12, d))
+    Y = np.stack([X @ np.array([0.5, -0.3, 0.2]) + 1.0
+                  + 0.1 * np.sin(X @ np.ones(d)),
+                  X @ np.array([-0.2, 0.4, 0.1]) - 0.5
+                  + 0.1 * np.cos(X @ np.ones(d))], axis=1)
+    hyper = gp_core.GPHypers(
+        log_ell=jnp.zeros((ny, d)), log_sf2=jnp.zeros(ny),
+        log_sn2=jnp.full(ny, -4.0),
+        mean_w=jnp.asarray(rng.standard_normal((ny, d + 1)) * 0.3))
+    gp = GP(X, Y, mean_func="linear", hyper=hyper, normalize=True,
+            optimizer_opts=dict(min_noise=0.0, jitter=0.0))
+
+    post, norm = online_gp.from_gp(gp, capacity=20)
+    new_z = rng.uniform(-2, 2, size=(4, d))
+    new_y = np.stack([new_z @ np.array([0.5, -0.3, 0.2]) + 1.0,
+                      new_z @ np.array([-0.2, 0.4, 0.1]) - 0.5], axis=1)
+    for z, y in zip(new_z, new_y):
+        post = online_gp.condition(post, norm, jnp.asarray(z),
+                                   jnp.asarray(y), mean_func="linear")
+    assert int(post.count) == 16
+
+    # reference: fresh posterior on the union with identical hypers
+    x_all = np.concatenate([np.asarray(gp.X_raw), new_z])
+    y_all = np.concatenate([np.asarray(gp.Y_raw), new_y])
+    xn = (x_all - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+    yn = (y_all - np.asarray(norm.y_mean)) / np.asarray(norm.y_std)
+    cfg = GPConfig(mean_func="linear", min_noise=0.0, jitter=0.0)
+    ref_post = gp_core.posterior(jnp.asarray(xn), jnp.asarray(yn),
+                                 gp.hyper, cfg)
+    zq = rng.uniform(-2, 2, size=d)
+    mu, var = online_gp.predict(post, norm, jnp.asarray(zq),
+                                mean_func="linear")
+    zqn = (zq - np.asarray(norm.z_mean)) / np.asarray(norm.z_std)
+    mu_n, var_n = gp_core.predict(ref_post, jnp.asarray(zqn), cfg)
+    mu_ref = (np.asarray(norm.y_mean)
+              + np.asarray(norm.y_std) * np.asarray(mu_n))
+    var_ref = np.asarray(norm.y_std) ** 2 * np.asarray(var_n)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-8)
 
 
 def test_solve_mc_with_online_conditioning(setup):
