@@ -60,6 +60,14 @@ CONFIGS = {
     # for UT behind the hard 1e-6 gate)
     "tank_gp_ut_tight": dict(gp_method="UT", discrete_method="gp",
                              percentile=0.95, feedback=True),
+    # Gauss-Hermite propagation (round 4): the kernel-generic full-
+    # covariance scheme behind the same hard gate as ME/TA/EM/UT
+    "tank_gp_gh_tight": dict(gp_method="GH", discrete_method="gp",
+                             percentile=0.95, feedback=True),
+    # Matérn-5/2 kernel family (round 4) in the closed loop: TA propagation
+    # takes jacfwd through the poly*exp kernel; pins the family's training,
+    # posterior, and MPC embedding
+    "tank_matern52_ta": dict(family="matern"),
     # MHE output-feedback closed loop (round 3c/3d; VERDICT r3 weak #6):
     # partial noisy measurements -> MHE window solve (GP dynamics,
     # Rao-Rawlings filtered arrival cost) -> MPC solve -> plant step,
@@ -84,6 +92,8 @@ def run_config(name, model, gp):
         return run_mhe_golden(model, gp)
     if family == "quad":
         return run_quad_golden()
+    if family == "matern":
+        return run_matern_golden(model)
     horizon_steps = kw.pop("horizon_steps", 5)
     with_du = kw.pop("with_du", False)
     extra = {}
@@ -101,6 +111,28 @@ def run_config(name, model, gp):
               ulb=[0.0, 0.0], uub=[8.0, 8.0],
               xlb=[0.5, 0.5, 0.1, 0.1], xub=[14.0, 25.0, 8.0, 8.0],
               cov_updates=2, **kw, **extra)
+    xs, us = mpc.solve(x0=X0, sim_time=8 * DT, x_sp=XSP, noise=True,
+                       key=jax.random.PRNGKey(11))
+    return np.asarray(xs), np.asarray(us)
+
+
+def run_matern_golden(model):
+    """Tank closed loop with a Matérn-5/2 ARD GP (round-4 kernel family):
+    same data/seeds as tank_gp, TA propagation + tightening + feedback —
+    pins the Matérn training trajectory, posterior algebra, and the jacfwd
+    path through the poly*exp kernel inside the MPC program."""
+    X, Y = model.generate_training_data(
+        50, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(7))
+    gp = GP(X, Y, kernel="matern52", mean_func="zero", gp_method="TA",
+            multistart=2, max_iters=150, seed=5)
+    mpc = MPC(horizon=5 * DT, model=model, gp=gp,
+              gp_method="TA", discrete_method="gp",
+              Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[8.0, 8.0],
+              xlb=[0.5, 0.5, 0.1, 0.1], xub=[14.0, 25.0, 8.0, 8.0],
+              percentile=0.95, feedback=True, cov_updates=2)
     xs, us = mpc.solve(x0=X0, sim_time=8 * DT, x_sp=XSP, noise=True,
                        key=jax.random.PRNGKey(11))
     return np.asarray(xs), np.asarray(us)
