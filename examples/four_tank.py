@@ -72,10 +72,13 @@ def main(quick: bool = False, use_tpu: bool = False):
         xlb=[0.5, 0.5, 0.1, 0.1], xub=[16.0, 16.0, 8.0, 8.0],
         discrete_method="gp")
 
-    # UT (unscented sigma points) is a beyond-reference fourth scheme —
-    # between TA and EM on the accuracy/cost frontier
+    # UT (unscented sigma points) and GH (tensor Gauss-Hermite quadrature)
+    # are beyond-reference schemes: UT sits between TA and EM on the
+    # accuracy/cost frontier; GH is the kernel-generic full-covariance
+    # scheme (converges to EM's exact SE answer with order)
     for gp_method, percentile in [("ME", None), ("TA", 0.95),
-                                  ("UT", 0.95), ("EM", 0.95)]:
+                                  ("UT", 0.95), ("EM", 0.95),
+                                  ("GH", 0.95)]:
         mpc = MPC(gp_method=gp_method, percentile=percentile,
                   feedback=percentile is not None, **common)
         t0 = time.perf_counter()
@@ -92,7 +95,7 @@ def main(quick: bool = False, use_tpu: bool = False):
               f"converged={int(r['converged'].sum())}/{n_steps} "
               f"max defect={r['defect'].max():.2e}")
         mpc.plot(filename=f"four_tank_{gp_method.lower()}.png")
-    print("plots written: four_tank_{me,ta,ut,em}.png")
+    print("plots written: four_tank_{me,ta,ut,em,gh}.png")
 
 
 if __name__ == "__main__":
