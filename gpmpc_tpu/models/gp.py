@@ -94,9 +94,11 @@ class GP:
                             kernel=kernel, **opts)
         self.gp_method = gp_method.upper()
         self._key = jax.random.PRNGKey(seed)
-        # optional single-axis device mesh: shards the (multistart x Ny)
-        # training grid over its devices (DP over independent training
-        # problems [SURVEY §2.3]); identical results to the local fit
+        # optional device mesh (1D or multi-host 2D, see
+        # parallel.distributed.make_study_mesh): shards the (multistart
+        # x Ny) training grid over ALL its devices (DP over independent
+        # training problems [SURVEY §2.3]); identical results to the
+        # local fit
         self.mesh = mesh
 
         if normalize:

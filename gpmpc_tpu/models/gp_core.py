@@ -198,7 +198,9 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
     VFE fit with an exact subset fit this way, because the VFE landscape
     has a wide "predict the mean" basin that swallows data-blind starts.
 
-    ``mesh`` (a single-axis ``jax.sharding.Mesh``) shards the
+    ``mesh`` (any ``jax.sharding.Mesh``; the grid shards over ALL of its
+    axes, so both the 1D ``("dp",)`` and the multi-host 2D
+    ``("dcn", "dp")`` layouts work unchanged) shards the
     (multistart x Ny) problem grid over its devices with ``shard_map``
     (data parallelism over independent training problems; the grid is
     padded to a device multiple with copies of problem 0 and the pad is
@@ -243,7 +245,10 @@ def fit(x: jnp.ndarray, y: jnp.ndarray, cfg: GPConfig,
     if mesh is not None:
         from jax.sharding import PartitionSpec as _P
 
-        axis = mesh.axis_names[0]
+        # the problem-grid axis shards over ALL mesh axes: a 1D ("dp",)
+        # mesh and a multi-host 2D ("dcn", "dp") mesh (parallel.
+        # distributed.make_study_mesh) run the identical program
+        axis = tuple(mesh.axis_names)
         n_dev = int(math.prod(mesh.devices.shape))
         total = s * ny
         pad = (-total) % n_dev

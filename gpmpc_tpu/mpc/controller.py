@@ -874,8 +874,10 @@ class MPC:
         per-state violation probability <= 1 - percentile, and this ensemble
         is how that claim is audited on the actual closed loop.
 
-        ``mesh`` (a single-axis ``jax.sharding.Mesh`` named ``"dp"``) shards
-        the Monte-Carlo lanes over devices — same scaling recipe as
+        ``mesh`` (any ``jax.sharding.Mesh`` — 1D ``("dp",)`` or the
+        multi-host 2D ``("dcn", "dp")`` from
+        :func:`gpmpc_tpu.parallel.distributed.make_study_mesh`) shards the
+        Monte-Carlo lanes over all mesh axes — same scaling recipe as
         :class:`~gpmpc_tpu.parallel.batched.BatchedStudy` [SURVEY §2.3]:
         annotate the batch axis, let XLA place the lanes.
         """
@@ -902,7 +904,7 @@ class MPC:
                  else None)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            dp = NamedSharding(mesh, P("dp"))
+            dp = NamedSharding(mesh, P(tuple(mesh.axis_names)))
             x0s = jax.device_put(x0s, dp)
             noise_ws = jax.device_put(noise_ws, dp)
         xs, us, sig1s, infos, _ = self._solve_mc_jit(

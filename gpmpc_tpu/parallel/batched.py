@@ -95,7 +95,9 @@ class BatchedStudy:
     """1024-rollout GP-MPC study harness.
 
     ``run(x0s, x_sp, n_steps, key)`` executes all rollouts; if a mesh is
-    given the batch axis is sharded across its ``dp`` axis.
+    given the batch axis is sharded across ALL of its axes (1D ``("dp",)``
+    or the multi-host 2D ``("dcn", "dp")`` from
+    :func:`gpmpc_tpu.parallel.distributed.make_study_mesh`).
     """
 
     def __init__(self, model, gp, horizon: float,
@@ -265,7 +267,10 @@ class BatchedStudy:
 
         post0 = self.post0 if init_post is None else init_post
         if self.mesh is not None:
-            dp = NamedSharding(self.mesh, P("dp"))
+            # batch axis shards over ALL mesh axes — a 1D ("dp",) mesh and
+            # a 2D multi-host ("dcn", "dp") mesh (parallel.distributed.
+            # make_study_mesh) are the same annotation
+            dp = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
             x0s = jax.device_put(x0s, dp)
             noise_ws = jax.device_put(noise_ws, dp)
             if init_post is not None:
