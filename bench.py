@@ -123,15 +123,20 @@ def bench_four_tank(model, gp, dtype, out):
     seeds, and solve_precision='default' was measured and REJECTED for
     the headline: per-x0 quality tails reach 1.075-1.085).
 
-    Budget note (round-3b sweep, RESULTS.md): the operating point is 2 AL
-    passes x 4 Newton steps, 8-candidate line search, AL penalty 1e3; the
-    realized-cost surface is NON-MONOTONE in solver effort (hyper-
-    converged budgets realize +130%), so the al4 x mi20 anchor — near the
+    Budget note (round-4 pinned-model sweep, RESULTS.md): the operating
+    point is 2 AL passes x 2 Newton steps, 8-candidate line search, AL
+    penalty 1e3 — on the PINNED bench model the quality panel is
+    bit-reproducible, and al2/mi2's panel (median 0.99386, max 1.00100)
+    matches al2/mi4's (median 0.99350) at 0.28 vs 0.48 ms/solve; a
+    second model variant (same fixture served at the default jitter)
+    also passes at al2/mi2 (median 0.9972, max 1.0084).  The realized-
+    cost surface is NON-MONOTONE in solver effort (hyper-converged
+    budgets realize +130%), so the al4 x mi20 anchor — near the
     realized-cost optimum — is the quality yardstick, not a convergence
     extreme.
     """
     mpc_rti = build_mpc(model, gp, dtype,
-                        dict(al_iters=2, max_iters=4, ls_steps=8,
+                        dict(al_iters=2, max_iters=2, ls_steps=8,
                              penalty_init=1e3, fused_kkt=True))
     mpc_full = build_mpc(model, gp, dtype,
                          dict(al_iters=4, max_iters=20, fused_kkt=True))
