@@ -41,7 +41,7 @@ from gpmpc_tpu.mpc.mhe import MHE
 from gpmpc_tpu.mpc.output_feedback import (OutputFeedbackResult,
                                            simulate_output_feedback)
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = ["Model", "GP", "MPC", "MHE", "simulate_output_feedback",
            "OutputFeedbackResult", "__version__"]
