@@ -24,8 +24,8 @@ def main(quick=False, use_tpu=False, batch=None):
 
     import numpy as np
     import jax.numpy as jnp
-    from jax.sharding import Mesh
     from gpmpc_tpu import GP, Model
+    from gpmpc_tpu.parallel import initialize_multihost, make_study_mesh
     from gpmpc_tpu.parallel.batched import BatchedStudy, save_study
     from gpmpc_tpu.systems import four_tank_ode
 
@@ -44,10 +44,13 @@ def main(quick=False, use_tpu=False, batch=None):
     gp = GP(X, Y, multistart=1, max_iters=100, seed=1,
             optimizer_opts=dict(jitter=1e-5, min_noise=1e-5))
 
+    # single-process this is a no-op; on a TPU pod the same two lines
+    # join the coordinator and build a 2-D ("dcn", "dp") topology mesh
+    initialize_multihost()
     devs = jax.devices()
-    mesh = Mesh(np.array(devs), axis_names=("dp",)) if len(devs) > 1 else None
+    mesh = make_study_mesh(devs) if len(devs) > 1 else None
     print(f"devices: {len(devs)} ({jax.default_backend()}), "
-          f"mesh: {'dp-sharded' if mesh else 'single'}  batch={b}")
+          f"mesh: {mesh.axis_names if mesh else 'single'}  batch={b}")
 
     study = BatchedStudy(
         model, gp, horizon=8 * dt,
