@@ -180,7 +180,7 @@ if __name__ == "__main__":
     ap.add_argument("--fixture", action="store_true",
                     help="serve the pinned bench model (bit-reproducible "
                          "quality panels) instead of an in-session fit")
-    ap.add_argument("--budget", default="al2/mi6/ls8/p1e3")
+    ap.add_argument("--budget", default="al2/mi2/ls8/p1e3")
     ap.add_argument("--no-prec", action="store_true",
                     help="skip the solve_precision='default' lanes")
     a = ap.parse_args()
