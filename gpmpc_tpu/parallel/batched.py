@@ -81,9 +81,18 @@ def load_study(path: str, template_post) -> StudyResult:
     supplies the posterior pytree structure."""
     z = np.load(path)
     n = int(z["n_post_leaves"])
-    _, treedef = jax.tree.flatten(template_post)
-    post = jax.tree.unflatten(
-        treedef, [jnp.asarray(z[f"post_{i}"]) for i in range(n)])
+    tmpl_leaves, treedef = jax.tree.flatten(template_post)
+    leaves = [np.asarray(z[f"post_{i}"]) for i in range(n)]
+    if n == len(tmpl_leaves) - 1:
+        # 0.3.x checkpoint: predates OnlinePosterior.mean_w (appended
+        # trailing field).  Synthesize it from the template — zero-width
+        # for mean_func='zero' (every 0.3.x study), otherwise the frozen
+        # trained weights — batched to match the saved leaves.
+        mw = np.asarray(tmpl_leaves[-1])
+        if leaves and leaves[0].ndim == np.asarray(tmpl_leaves[0]).ndim + 1:
+            mw = np.broadcast_to(mw, (leaves[0].shape[0],) + mw.shape)
+        leaves.append(mw)
+    post = jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
     return StudyResult(
         x_traj=jnp.asarray(z["x_traj"]), u_traj=jnp.asarray(z["u_traj"]),
         cost=jnp.asarray(z["cost"]), obj=jnp.asarray(z["obj"]),
@@ -266,15 +275,32 @@ class BatchedStudy:
             noise_ws = jnp.zeros((b, n_steps, self.Nx), self.dtype)
 
         post0 = self.post0 if init_post is None else init_post
+        consts = self.consts
         if self.mesh is not None:
             # batch axis shards over ALL mesh axes — a 1D ("dp",) mesh and
             # a 2D multi-host ("dcn", "dp") mesh (parallel.distributed.
             # make_study_mesh) are the same annotation
-            dp = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
-            x0s = jax.device_put(x0s, dp)
-            noise_ws = jax.device_put(noise_ws, dp)
-            if init_post is not None:
-                post0 = jax.tree.map(lambda a: jax.device_put(a, dp), post0)
-        return self._run_jit(x0s, x_sp, noise_ws, post0, self.consts,
+            from gpmpc_tpu.parallel import distributed
+            bspec = P(tuple(self.mesh.axis_names))
+            if distributed.mesh_is_multiprocess(self.mesh):
+                # Real multi-controller run: every process holds the same
+                # full host copy of every input; batch-leading arrays shard
+                # over the mesh, everything else replicates (P()).  Plain
+                # device_put cannot write non-addressable shards.
+                x0s = distributed.global_put(x0s, self.mesh, bspec)
+                noise_ws = distributed.global_put(noise_ws, self.mesh, bspec)
+                x_sp = distributed.global_put(x_sp, self.mesh, P())
+                consts = distributed.tree_global_put(consts, self.mesh, P())
+                post0 = distributed.tree_global_put(
+                    post0, self.mesh,
+                    bspec if init_post is not None else P())
+            else:
+                dp = NamedSharding(self.mesh, bspec)
+                x0s = jax.device_put(x0s, dp)
+                noise_ws = jax.device_put(noise_ws, dp)
+                if init_post is not None:
+                    post0 = jax.tree.map(
+                        lambda a: jax.device_put(a, dp), post0)
+        return self._run_jit(x0s, x_sp, noise_ws, post0, consts,
                              n_steps=n_steps,
                              batched_post=init_post is not None)

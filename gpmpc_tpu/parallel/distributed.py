@@ -28,6 +28,7 @@ their batch over ALL of its axes (``PartitionSpec(mesh.axis_names)``), so
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -35,42 +36,72 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["initialize_multihost", "make_study_mesh", "batch_sharding",
-           "batch_spec"]
+           "batch_spec", "mesh_is_multiprocess", "global_put",
+           "tree_global_put"]
+
+
+def _cluster_env_present() -> bool:
+    """True when a recognized multi-process launcher planted cluster info.
+
+    Mirrors the launch modes ``jax.distributed.initialize`` can actually
+    autodetect (jax._src.clusters): explicit coordinator env vars, GKE /
+    TPU-VM pod env (``TPU_WORKER_HOSTNAMES`` / ``TPU_PROCESS_ADDRESSES``),
+    Slurm steps with more than one task, and Open MPI / PMI world sizes
+    above one.  GCE TPU pods launched without any of these advertise
+    themselves only through the instance metadata server, which cannot be
+    sniffed cheaply here — pass ``auto=True`` (or an explicit coordinator
+    spec) on such pods.
+    """
+    for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+              "JAX_COORDINATOR_IP", "MEGASCALE_COORDINATOR_ADDRESS",
+              "TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES"):
+        if os.environ.get(k):
+            return True
+    for size_key in ("SLURM_NTASKS", "SLURM_NPROCS",
+                     "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        try:
+            if int(os.environ.get(size_key, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None,
+                         auto: bool = False,
                          **kwargs) -> bool:
     """Join (or skip) JAX's multi-controller runtime; returns True if the
     distributed runtime was initialized.
 
-    Call once per process, BEFORE first backend use.  Three launch modes:
+    Call once per process, BEFORE first backend use.  Launch modes:
 
-    * managed TPU pod (GKE / TPU VM): call with NO arguments — the cluster
-      environment carries coordinator/process info and
-      ``jax.distributed.initialize`` autodetects it;
     * bare-metal / manual: pass ``coordinator_address`` ("host:port" of
       process 0), ``num_processes``, and this process's ``process_id``;
+    * managed pod with a recognized launcher (GKE TPU env vars, Slurm,
+      Open MPI): call with NO arguments — the environment carries
+      coordinator/process info and ``jax.distributed.initialize``
+      autodetects it;
+    * managed pod whose only advertisement is the GCE metadata server
+      (plain TPU-VM pods): pass ``auto=True`` to delegate unconditionally
+      and let JAX's own cluster detection run;
     * single-process (this environment, and every test/bench here): with
       no arguments and no cluster environment the call is a NO-OP — the
       single-process mesh path needs no coordination.
 
     The gate exists so library code and examples can call this
     unconditionally: single-host nothing happens, multi-host the same
-    line brings the process into the pod.
+    line brings the process into the pod.  A plain no-arg call only
+    initializes when a launcher is detectable from the environment
+    (see :func:`_cluster_env_present`); ``auto=True`` skips the gate.
     """
-    if coordinator_address is None and num_processes in (None, 1):
+    if (not auto and coordinator_address is None
+            and num_processes in (None, 1)):
         # No explicit cluster spec: autodetect only when a launcher has
-        # planted one (TPU pods set cloud metadata; GKE sets JAX_* /
-        # MEGASCALE env vars).  A plain single-process launch must not
-        # try to reach a coordinator.
-        import os
-        has_cluster_env = any(
-            os.environ.get(k) for k in
-            ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-             "MEGASCALE_COORDINATOR_ADDRESS"))
-        if not has_cluster_env:
+        # planted one.  A plain single-process launch must not try to
+        # reach a coordinator (it would hang or error).
+        if not _cluster_env_present():
             return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
@@ -111,6 +142,33 @@ def make_study_mesh(devices: Optional[Sequence] = None,
     devices.sort(key=lambda d: (d.process_index, d.id))
     grid = np.array(devices).reshape(n_hosts, n // n_hosts)
     return Mesh(grid, axis_names=("dcn", "dp"))
+
+
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by more than one process —
+    the case where plain ``jax.device_put`` cannot place host arrays (a
+    process can only write its own addressable shards)."""
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def global_put(x, mesh: Mesh, spec: P):
+    """Place a host array onto a (possibly multi-process) mesh as a global
+    array.
+
+    Every process must call this with the SAME full host copy (the SPMD
+    "same program, same inputs" contract); each contributes only the
+    shards it can address.  Single-process this is equivalent to
+    ``jax.device_put(x, NamedSharding(mesh, spec))``.
+    """
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def tree_global_put(tree, mesh: Mesh, spec: P):
+    """:func:`global_put` over every array leaf of a pytree (one spec)."""
+    return jax.tree.map(lambda a: global_put(a, mesh, spec), tree)
 
 
 def batch_spec(mesh: Mesh) -> P:

@@ -27,19 +27,37 @@ X_SS = np.array([12.4, 12.7, 1.8, 1.4])
 
 def test_initialize_multihost_is_noop_single_process(monkeypatch):
     """Single-process launch with no cluster env must not try to reach a
-    coordinator (it would hang) — the gate returns False untouched."""
+    coordinator (it would hang) — the gate returns False untouched.
+    (The REAL delegation path runs unstubbed in
+    tests/test_multihost_bringup.py.)"""
     for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-              "MEGASCALE_COORDINATOR_ADDRESS"):
+              "JAX_COORDINATOR_IP", "MEGASCALE_COORDINATOR_ADDRESS",
+              "TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES",
+              "SLURM_NTASKS", "SLURM_NPROCS", "OMPI_COMM_WORLD_SIZE",
+              "PMI_SIZE"):
         monkeypatch.delenv(k, raising=False)
     called = []
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda **kw: called.append(kw))
     assert initialize_multihost() is False
     assert called == []
+    # single-task Slurm allocation is NOT a cluster launch
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert initialize_multihost() is False
+    assert called == []
+    # managed-pod env vars the real launchers plant DO delegate
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert initialize_multihost() is True
+    monkeypatch.delenv("SLURM_NTASKS")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    assert initialize_multihost() is True
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    # metadata-server-only pods: explicit opt-in skips the env gate
+    assert initialize_multihost(auto=True) is True
     # explicit cluster spec DOES delegate (stubbed — no real coordinator)
     assert initialize_multihost(coordinator_address="localhost:1234",
                                 num_processes=2, process_id=0) is True
-    assert called and called[0]["num_processes"] == 2
+    assert called and called[-1]["num_processes"] == 2
 
 
 def test_make_study_mesh_shapes():

@@ -184,6 +184,26 @@ def test_study_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(r_full.post.x[:, :30]),
                                np.asarray(r2.post.x[:, :30]), atol=1e-9)
 
+    # 0.3.x checkpoints predate OnlinePosterior.mean_w (8 post leaves, not
+    # 9): load_study must synthesize the missing trailing leaf from the
+    # template instead of failing the unflatten
+    z = dict(np.load(path))
+    assert int(z["n_post_leaves"]) == 9
+    del z["post_8"]
+    z["n_post_leaves"] = 8
+    legacy = os.path.join(tmp_path, "study_legacy.npz")
+    np.savez(legacy, **z)
+    r_legacy = load_study(legacy, study.post0)
+    np.testing.assert_allclose(np.asarray(r_legacy.cost),
+                               np.asarray(r1.cost))
+    b = np.asarray(r1.post.x).shape[0]
+    assert np.asarray(r_legacy.post.mean_w).shape == (
+        (b,) + np.asarray(study.post0.mean_w).shape)
+    # and it resumes cleanly
+    r2b = study.run(x_next, x_sp, n_steps=1, noise=False,
+                    init_post=r_legacy.post)
+    assert np.all(np.asarray(r2b.gp_points) >= np.asarray(r1.gp_points))
+
 
 def test_study_solve_precision_validates():
     """BatchedStudy(solve_precision=...) rejects junk at construction."""
