@@ -67,7 +67,9 @@ class GP:
                  inducing: Optional[int] = None,
                  optimize_inducing: bool = False,
                  mesh=None,
-                 kernel: str = "se"):
+                 kernel: str = "se",
+                 gh_order: int = 3,
+                 gh_grid: str = "auto"):
         X = jnp.asarray(X, dtype)
         Y = jnp.asarray(Y, dtype)
         if X.ndim != 2 or Y.ndim != 2 or X.shape[0] != Y.shape[0]:
@@ -93,6 +95,15 @@ class GP:
                             max_iters=max_iters, normalize=normalize,
                             kernel=kernel, **opts)
         self.gp_method = gp_method.upper()
+        # GH quadrature knobs (only read when gp_method == 'GH'):
+        # tensor order and grid choice ('auto' switches to the degree-5
+        # sparse cubature when order**D would exceed 1000 points — see
+        # propagate.propagate_gh)
+        if gh_grid not in ("auto", "tensor", "cubature5"):
+            raise ValueError(f"gh_grid must be 'auto'|'tensor'|'cubature5';"
+                             f" got {gh_grid!r}")
+        self.gh_order = int(gh_order)
+        self.gh_grid = gh_grid
         self._key = jax.random.PRNGKey(seed)
         # optional device mesh (1D or multi-host 2D, see
         # parallel.distributed.make_study_mesh): shards the (multistart
@@ -189,6 +200,10 @@ class GP:
                 "PILCO closed forms are SE-specific; use ME/TA/UT with "
                 f"kernel={self.cfg.kernel!r}")
         prop = get_propagator(self.gp_method)
+        if self.gp_method == "GH":
+            import functools
+            prop = functools.partial(prop, order=self.gh_order,
+                                     grid=self.gh_grid)
         cfg = self.cfg
         jitted = jax.jit(lambda post, norm, mu_z, cov_z:
                          prop(post, norm, cfg, mu_z, cov_z))

@@ -267,41 +267,19 @@ def propagate_ut(post: gp_core.GPPosterior, norm: Normalization,
     return mu, sigma, c
 
 
-def propagate_gh(post: gp_core.GPPosterior, norm: Normalization,
-                 cfg: GPConfig, mu_z: jnp.ndarray, cov_z: jnp.ndarray,
-                 *, order: int = 3
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Gauss–Hermite quadrature moment matching (beyond-reference).
+def _tensor_gh_rule(d: int, order: int):
+    """Tensor-product Gauss–Hermite nodes/weights for N(0, I_d).
 
-    Tensor-product GH quadrature of the exact moment integrals
-
-        mu_y    = E[mu(z)],
-        Sigma_y = Cov[mu(z)] + E[diag(var(z))],
-        C       = Cov[z, mu(z)],
-
-    under z ~ N(mu_z, Sigma_z).  Per input dim, ``order``-point GH is
-    exact for polynomial integrands up to degree 2*order-1 (order=3:
-    degree 5 — two orders beyond UT's third-order sigma-point rule), and
-    unlike EM's closed forms [SURVEY C3d] it is KERNEL-GENERIC: this is
-    the full-covariance moment-matching scheme for the Matérn families
-    (and any mean function), converging to EM's exact SE answer as
-    ``order`` grows.
-
-    Cost: order**D posterior mean/variance evaluations, batched as ONE
-    vmapped program — a (P, N) cross-kernel matmul per step that the MXU
-    eats at MPC sizes (D=6 four-tank: 729 points x N~100 training rows).
-    All GH weights are positive, so Sigma_y is PSD by construction (the
-    chance-tightening requirement along the horizon).  Nodes/weights are
-    trace-time numpy constants (static shapes).
+    order**d points, ALL weights positive (Sigma_y PSD by construction).
+    Exact for polynomial integrands up to per-dim degree 2*order-1.
     """
     import numpy as _np
-    d = mu_z.shape[0]
-    dtype = mu_z.dtype
     n_pts = order ** d
     if n_pts > 20000:
         raise ValueError(
             f"GH tensor grid has order**D = {order}**{d} = {n_pts} points "
-            "(cap 20000); lower `order` or use gp_method='UT'")
+            "(cap 20000); lower `order`, use gh_grid='cubature5' "
+            "(2 D^2 + 1 points), or gp_method='UT'")
     # probabilists' Hermite: sum_i w_i f(x_i) ~ sqrt(2 pi) E[f(X)], X~N(0,1)
     nodes_1d, w_1d = _np.polynomial.hermite_e.hermegauss(order)
     w_1d = w_1d / _np.sqrt(2.0 * _np.pi)                 # normalized: sum=1
@@ -310,6 +288,92 @@ def propagate_gh(post: gp_core.GPPosterior, norm: Normalization,
     wg = _np.ones(n_pts)
     for g in _np.meshgrid(*([w_1d] * d), indexing="ij"):
         wg = wg * g.reshape(-1)
+    return xi, wg
+
+
+def _cubature5_rule(d: int):
+    """Degree-5 fully symmetric cubature for N(0, I_d) in 2 d^2 + 1 points
+    (McNamee–Stenger 1967; the rule behind the 5th-degree cubature Kalman
+    filter).  Point sets: origin; +-sqrt(d+2) e_i; sqrt((d+2)/2)(+-e_i+-e_j).
+
+    Exact for ALL polynomials of total degree <= 5 — the same degree the
+    order-3 TENSOR grid is exact for per dim — at 129 points for d=8
+    instead of 6561.  CAVEAT: the axial weight (4-d)/(2(d+2)^2) is negative
+    for d > 4, so the quadrature covariance is not PSD by construction; the
+    caller must clip (see propagate_gh's eigenvalue floor).
+    """
+    import numpy as _np
+    w0 = 2.0 / (d + 2.0)
+    w1 = (4.0 - d) / (2.0 * (d + 2.0) ** 2)
+    w2 = 1.0 / (d + 2.0) ** 2
+    pts = [_np.zeros((1, d))]
+    wts = [_np.full(1, w0)]
+    r1 = _np.sqrt(d + 2.0)
+    eye = _np.eye(d)
+    pts += [r1 * eye, -r1 * eye]
+    wts += [_np.full(d, w1), _np.full(d, w1)]
+    r2 = _np.sqrt((d + 2.0) / 2.0)
+    iu, ju = _np.triu_indices(d, k=1)
+    for sa, sb in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+        pts.append(r2 * (sa * eye[iu] + sb * eye[ju]))
+        wts.append(_np.full(iu.shape[0], w2))
+    return _np.concatenate(pts, axis=0), _np.concatenate(wts)
+
+
+def propagate_gh(post: gp_core.GPPosterior, norm: Normalization,
+                 cfg: GPConfig, mu_z: jnp.ndarray, cov_z: jnp.ndarray,
+                 *, order: int = 3, grid: str = "auto"
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gauss–Hermite / cubature moment matching (beyond-reference).
+
+    Quadrature of the exact moment integrals
+
+        mu_y    = E[mu(z)],
+        Sigma_y = Cov[mu(z)] + E[diag(var(z))],
+        C       = Cov[z, mu(z)],
+
+    under z ~ N(mu_z, Sigma_z).  Unlike EM's closed forms [SURVEY C3d]
+    this is KERNEL-GENERIC: the full-covariance moment-matching scheme for
+    the Matérn families (and any mean function), converging to EM's exact
+    SE answer with quadrature accuracy.
+
+    ``grid`` selects the point set:
+
+    * ``'tensor'`` — order**D Gauss–Hermite tensor grid; per input dim
+      exact to degree 2*order-1 (order=3: degree 5 per dim); all weights
+      positive, so Sigma_y is PSD by construction.  The right choice up
+      to D~6 (four-tank: 3**6 = 729 points x N~100 rows — one (P, N)
+      cross-kernel matmul the MXU eats).
+    * ``'cubature5'`` — degree-5 fully symmetric sparse cubature in
+      2 D^2 + 1 points (McNamee–Stenger); exact for total degree <= 5.
+      The right choice for D >= 8 (quadrotor hybrid: 129 points instead
+      of 6561).  Its axial weights are negative for D > 4, so Sigma_y is
+      eigenvalue-floored at 0 here (branchless eigh clip; Ny x Ny is
+      tiny) to restore the PSD guarantee the chance tightening needs.
+    * ``'auto'`` (default) — tensor while order**D <= 1000; above that,
+      switches to cubature5 ONLY when order <= 3 (cubature5 is a
+      degree-5 rule — substituting it for an explicitly requested
+      higher-order tensor grid would silently downgrade accuracy, so
+      those still go tensor and hit its cap).  D<=6 keeps the old
+      tensor behavior exactly; D>=7 at the default order 3 switches to
+      the sparse rule instead of exploding.
+
+    Nodes/weights are trace-time numpy constants (static shapes).
+    """
+    import numpy as _np
+    d = mu_z.shape[0]
+    dtype = mu_z.dtype
+    if grid not in ("auto", "tensor", "cubature5"):
+        raise ValueError(f"gh_grid must be 'auto'|'tensor'|'cubature5'; "
+                         f"got {grid!r}")
+    use_cub = (grid == "cubature5"
+               or (grid == "auto" and order <= 3 and order ** d > 1000))
+    if use_cub:
+        xi, wg = _cubature5_rule(d)
+        clip_psd = d > 4        # negative axial weights only for d > 4
+    else:
+        xi, wg = _tensor_gh_rule(d, order)
+        clip_psd = False
     xi = jnp.asarray(xi, dtype)
     wg = jnp.asarray(wg, dtype)
 
@@ -325,6 +389,12 @@ def propagate_gh(post: gp_core.GPPosterior, norm: Normalization,
     mu = wg @ mus
     dev = mus - mu[None, :]                                      # (P, Ny)
     sigma = (dev * wg[:, None]).T @ dev + jnp.diag(wg @ vars_)
+    if clip_psd:
+        # negative cubature weights can push tiny eigenvalues below zero;
+        # floor them branchlessly (Ny x Ny eigh — tiny)
+        sigma = 0.5 * (sigma + sigma.T)
+        evals, evecs = jnp.linalg.eigh(sigma)
+        sigma = (evecs * jnp.maximum(evals, 0.0)) @ evecs.T
     c = (offsets * wg[:, None]).T @ dev                          # (D, Ny)
     return mu, sigma, c
 

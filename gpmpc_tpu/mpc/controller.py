@@ -185,6 +185,12 @@ class MPC:
         self._gp_cfg = gp.cfg if gp is not None else None
         self._propagator = (get_propagator(self.gp_method)
                             if gp is not None else None)
+        if self._propagator is not None and self.gp_method == "GH":
+            # honor the GP's quadrature knobs (tensor order / sparse grid
+            # for high-D inputs — propagate.propagate_gh)
+            import functools
+            self._propagator = functools.partial(
+                self._propagator, order=gp.gh_order, grid=gp.gh_grid)
         # costFunc: 'quad' | 'sat' (the reference's option set [SURVEY C6])
         # or, beyond-reference, a CALLABLE (mu, Sigma, x_ref, W) -> scalar
         # expected stage cost (W is this stage's weight: Q at stages, P at

@@ -144,8 +144,16 @@ def _al_term_cost(prob: TrajectoryProblem, x, params, lam_term, mu):
     return c
 
 
-def _merit(prob, state, params, mu, nu_pen):
-    """L1 merit: AL objective + nu * ||defects||_1."""
+def _merit(prob, state, params, mu, nu_pen, w_viol=0.0):
+    """L1 merit: AL objective + nu * ||defects||_1 (+ optional exact-penalty
+    term ``w_viol * ||max(0, g)||_1`` on the inequality violations).
+
+    The AL terms already price violations, but their weight scales with the
+    CURRENT penalty mu — in the early outer rounds of a small-``al_iters``
+    budget a step that cuts through a constraint can still look cheap.  A
+    static ``w_viol > 0`` (``SQPConfig.merit_viol``) makes the line search
+    violation-aware independent of the mu schedule.
+    """
     nt = prob.horizon
     ts = jnp.arange(nt)
     stage = jax.vmap(
@@ -155,8 +163,15 @@ def _merit(prob, state, params, mu, nu_pen):
     f_next = jax.vmap(lambda x, u, t: prob.dynamics(x, u, t, params))(
         state.x[:-1], state.u, ts)
     defects = f_next - state.x[1:]
-    return (jnp.sum(stage) + term + nu_pen * jnp.sum(jnp.abs(defects)),
-            defects)
+    m = jnp.sum(stage) + term + nu_pen * jnp.sum(jnp.abs(defects))
+    if w_viol and prob.n_ineq:
+        g = jax.vmap(lambda x, u, t: prob.stage_ineq(x, u, t, params))(
+            state.x[:-1], state.u, ts)
+        m = m + w_viol * jnp.sum(jnp.maximum(g, 0.0))
+    if w_viol and prob.n_term_ineq:
+        gt = prob.terminal_ineq(state.x[-1], params)
+        m = m + w_viol * jnp.sum(jnp.maximum(gt, 0.0))
+    return m, defects
 
 
 def _build_qp(prob, state, params, mu, reg_state):
@@ -285,7 +300,8 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
             # adapt the merit defect weight to dominate the costates
             nu_new = jnp.maximum(nu_p, 10.0 * jnp.max(jnp.abs(qp.q_x)))
 
-            merit0, _ = _merit(prob, state, params, mu, nu_new)
+            merit0, _ = _merit(prob, state, params, mu, nu_new,
+                               cfg.merit_viol)
 
             def try_alpha(alpha):
                 u_new = state.u + alpha * sol.du
@@ -295,7 +311,8 @@ def solve(prob: TrajectoryProblem, params: Any, init: SolverState,
                 cand = SolverState(x=state.x + alpha * sol.dx,
                                    u=u_new,
                                    lam=state.lam, lam_term=state.lam_term)
-                m, _ = _merit(prob, cand, params, mu, nu_new)
+                m, _ = _merit(prob, cand, params, mu, nu_new,
+                              cfg.merit_viol)
                 return cand, m
 
             alphas = cfg.ls_beta ** jnp.arange(cfg.ls_steps, dtype=dtype)

@@ -95,6 +95,10 @@ class SQPConfig:
     ls_steps: int = 8               # backtracking line-search trials
     ls_beta: float = 0.5
     ls_c1: float = 1e-4
+    merit_viol: float = 0.0         # L1 exact-penalty weight on inequality
+    #                                 violations in the line-search merit
+    #                                 (0 = off: the AL terms alone price
+    #                                 violations, at the current-mu scale)
     parallel_kkt: bool = False      # associative-scan Riccati (O(log Nt)
     #                                 depth; worthwhile at long horizons)
     fused_kkt: bool = False         # single-launch Pallas Riccati sweep

@@ -506,3 +506,61 @@ def test_solve_mc_mesh_sharded_matches_local(tank_model):
                                rtol=0, atol=1e-8)
     np.testing.assert_allclose(np.asarray(us_mesh), np.asarray(us_local),
                                rtol=0, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_mpc_gh_quadrotor_d8_sparse_cubature():
+    """GH propagation on the quadrotor hybrid (Nx=6 + Nu=2 -> D=8): the
+    order-3 tensor grid would be 6561 points/stage; the 'auto' grid routes
+    to the 129-point degree-5 cubature (propagate.propagate_gh) so GH runs
+    on EVERY shipped plant family [VERDICT r4 item 4].  Exercises the full
+    MPC embedding (chance tightening consumes the floored-PSD Sigma)."""
+    from gpmpc_tpu.systems import QUAD_PARAMS, planar_quadrotor_ode
+
+    dtype = jnp.float64
+    dt = 0.05
+    p_true = dict(QUAD_PARAMS, m=1.3)
+    nominal = Model(Nx=6, Nu=2, ode=lambda x, u: planar_quadrotor_ode(x, u),
+                    dt=dt, R=np.diag([1e-8] * 6), dtype=dtype,
+                    integrator_substeps=4)
+    plant = Model(Nx=6, Nu=2,
+                  ode=lambda x, u: planar_quadrotor_ode(x, u, p_true),
+                  dt=dt, R=np.diag([1e-8] * 6), dtype=dtype,
+                  integrator_substeps=4)
+    kx, ku = jax.random.split(jax.random.PRNGKey(0))
+    x_lo = np.array([-2.0, 0.0, -0.4, -1.5, -1.5, -1.0])
+    x_hi = np.array([3.0, 3.0, 0.4, 1.5, 1.5, 1.0])
+    xs_s = jax.random.uniform(kx, (40, 6), minval=x_lo, maxval=x_hi,
+                              dtype=dtype)
+    us_s = jax.random.uniform(ku, (40, 2), minval=2.0, maxval=9.0,
+                              dtype=dtype)
+    resid = (jax.vmap(plant.integrate)(xs_s, us_s)
+             - jax.vmap(nominal.rk4)(xs_s, us_s))
+    gp = GP(jnp.concatenate([xs_s, us_s], axis=1), resid, mean_func="zero",
+            gp_method="GH", multistart=1, max_iters=60, seed=1)
+    assert gp.gh_grid == "auto" and gp.gh_order == 3
+    mpc = MPC(horizon=6 * dt, model=nominal, gp=gp, gp_method="GH",
+              discrete_method="hybrid",
+              Q=np.diag([10.0, 30.0, 2.0, 1.0, 1.0, 0.2]),
+              R=0.02 * np.eye(2),
+              ulb=[0.0, 0.0], uub=[10.0, 10.0],
+              xlb=[-5.0, 0.2, -1.0, -5.0, -5.0, -6.0],
+              xub=[5.0, 5.0, 1.0, 5.0, 5.0, 6.0],
+              feedback=False, percentile=0.95, cov_updates=1, dtype=dtype)
+    x = jnp.asarray([0.0, 1.0, 0.0, 0.0, 0.0, 0.0], dtype)
+    x_sp = np.array([1.5, 2.0, 0.0, 0.0, 0.0, 0.0])
+    warm, u_prev = None, None
+    for _ in range(3):
+        u0, warm, sigmas, info = mpc.solve_step(x, x_sp, warm=warm,
+                                                u_prev=u_prev)
+        u_prev = u0
+        x = plant.integrate(x, u0)
+        assert np.all(np.isfinite(np.asarray(x)))
+        assert np.all(np.isfinite(np.asarray(u0)))
+        # propagated covariances along the horizon stay PSD (floored)
+        evs = np.linalg.eigvalsh(0.5 * (np.asarray(sigmas)
+                                        + np.transpose(np.asarray(sigmas),
+                                                       (0, 2, 1))))
+        assert evs.min() >= -1e-10
+    # the loop made progress toward the setpoint
+    assert float(jnp.abs(x[0] - 1.5)) < 1.5

@@ -271,8 +271,118 @@ def test_gh_matern_against_monte_carlo_beats_ut():
 
 
 def test_gh_point_cap_guard():
-    from gpmpc_tpu.models.propagate import propagate_gh
+    from gpmpc_tpu.models.propagate import propagate_gh, _tensor_gh_rule
     x, y, ells, sf2s, sn2s, cfg, post, norm, m, s = _setup(d=3)
     import pytest
+    # auto does NOT silently downgrade an explicitly high order to the
+    # degree-5 sparse rule — it goes tensor and hits the cap
     with pytest.raises(ValueError, match="cap"):
         propagate_gh(post, norm, cfg, jnp.zeros(3), jnp.eye(3), order=30)
+    # the tensor rule itself is capped (order 3 at D=10 is 59049 points)
+    with pytest.raises(ValueError, match="cap"):
+        _tensor_gh_rule(10, 3)
+    with pytest.raises(ValueError, match="gh_grid"):
+        propagate_gh(post, norm, cfg, jnp.zeros(3), jnp.eye(3),
+                     grid="smolyak")
+
+
+# ------------------------------------------------- GH at high D (round 5)
+
+def test_cubature5_rule_is_degree5_exact_at_d8():
+    """The sparse rule for D>=7: 2 D^2 + 1 points, exact for every monomial
+    of total degree <= 5 under N(0, I) — the same degree the order-3
+    tensor grid achieves per dim, at 129 points instead of 6561."""
+    from gpmpc_tpu.models.propagate import _cubature5_rule
+    d = 8
+    pts, w = _cubature5_rule(d)
+    assert pts.shape == (2 * d * d + 1, d)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-12)
+    # E[x_i] = 0, E[x_i x_j] = delta_ij, E[x_i^3] = 0, E[x_i^4] = 3,
+    # E[x_i^2 x_j^2] = 1 (i != j), E[x_i^3 x_j] = 0
+    np.testing.assert_allclose(w @ pts, 0.0, atol=1e-12)
+    np.testing.assert_allclose((pts.T * w) @ pts, np.eye(d), atol=1e-12)
+    np.testing.assert_allclose(w @ pts ** 3, 0.0, atol=1e-11)
+    np.testing.assert_allclose(w @ pts ** 4, 3.0, atol=1e-11)
+    np.testing.assert_allclose(
+        (pts.T ** 2 * w) @ pts ** 2,
+        np.eye(d) * 2.0 + 1.0, atol=1e-11)
+    np.testing.assert_allclose(w @ (pts[:, 0] ** 3 * pts[:, 1]), 0.0,
+                               atol=1e-11)
+    # degree-5 mixed: E[x_i^4 x_j] = 0, E[x_i^2 x_j^2 x_k] = 0
+    np.testing.assert_allclose(w @ (pts[:, 0] ** 4 * pts[:, 1]), 0.0,
+                               atol=1e-11)
+    np.testing.assert_allclose(
+        w @ (pts[:, 0] ** 2 * pts[:, 1] ** 2 * pts[:, 2]), 0.0, atol=1e-11)
+
+
+def _setup_d8(n=30, ny=3):
+    rng = np.random.default_rng(11)
+    d = 8
+    x = rng.uniform(-2, 2, size=(n, d))
+    w = rng.standard_normal((d, ny)) * 0.4
+    y = np.sin(x @ w)
+    ells = np.exp(rng.standard_normal((ny, d)) * 0.15 + 0.6)
+    sf2s = np.full(ny, 1.1)
+    sn2s = np.full(ny, 0.03)
+    cfg = GPConfig(min_noise=0.0, jitter=0.0)
+    hyp = gp_core.GPHypers(jnp.log(jnp.array(ells)), jnp.log(jnp.array(sf2s)),
+                           jnp.log(jnp.array(sn2s)), jnp.zeros((ny, 0)))
+    post = gp_core.posterior(jnp.array(x), jnp.array(y), hyp, cfg)
+    norm = Normalization.identity(d, ny, jnp.array(x).dtype)
+    m = rng.uniform(-1, 1, size=d)
+    a = rng.standard_normal((d, d)) * 0.1
+    s = a @ a.T + 0.01 * np.eye(d)
+    return cfg, post, norm, m, s
+
+
+def test_gh_auto_switches_to_cubature_at_d8():
+    """At D=8 (the quadrotor hybrid's input dim) the default order-3 tensor
+    grid would be 6561 points; 'auto' must route to the 129-point degree-5
+    cubature, agree with EM's exact SE answer, and stay PSD (the negative
+    cubature weights are eigenvalue-floored)."""
+    from gpmpc_tpu.models.propagate import propagate_gh
+    cfg, post, norm, m, s = _setup_d8()
+    mu_e, sig_e, c_e = propagate_em(post, norm, cfg, jnp.array(m),
+                                    jnp.array(s))
+
+    mu_a, sig_a, c_a = propagate_gh(post, norm, cfg, jnp.array(m),
+                                    jnp.array(s))          # auto, order 3
+    mu_c, sig_c, c_c = propagate_gh(post, norm, cfg, jnp.array(m),
+                                    jnp.array(s), grid="cubature5")
+    # auto == explicit cubature, bitwise (same rule selected)
+    np.testing.assert_array_equal(np.asarray(mu_a), np.asarray(mu_c))
+    np.testing.assert_array_equal(np.asarray(sig_a), np.asarray(sig_c))
+    np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_c))
+    # vs the exact SE closed forms
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu_e),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_e),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_e), atol=5e-3)
+    # PSD restored by the eigenvalue floor
+    assert np.min(np.linalg.eigvalsh(
+        0.5 * (np.asarray(sig_a) + np.asarray(sig_a).T))) >= -1e-12
+
+
+def test_gh_order2_tensor_still_available_at_d8():
+    """order=2 at D=8 is 256 points (<= the auto threshold): the tensor
+    path with all-positive weights remains selectable as the
+    PSD-by-construction fallback."""
+    from gpmpc_tpu.models.propagate import propagate_gh
+    cfg, post, norm, m, s = _setup_d8()
+    mu_e, sig_e, _ = propagate_em(post, norm, cfg, jnp.array(m),
+                                  jnp.array(s))
+    mu, sig, c = propagate_gh(post, norm, cfg, jnp.array(m), jnp.array(s),
+                              order=2)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_e), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_e),
+                               atol=2e-2)
+    assert np.min(np.linalg.eigvalsh(
+        0.5 * (np.asarray(sig) + np.asarray(sig).T))) > -1e-12
+    # cubature5 (degree 5) beats the degree-3 tensor grid on the covariance
+    from gpmpc_tpu.models.propagate import propagate_gh as _gh
+    _, sig_c, _ = _gh(post, norm, cfg, jnp.array(m), jnp.array(s),
+                      grid="cubature5")
+    err_c = np.abs(np.asarray(sig_c) - np.asarray(sig_e)).max()
+    err_2 = np.abs(np.asarray(sig) - np.asarray(sig_e)).max()
+    assert err_c <= err_2 + 1e-9, (err_c, err_2)
