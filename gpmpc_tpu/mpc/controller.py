@@ -721,17 +721,33 @@ class MPC:
                                  u_init=u_init)
 
     def solve_step(self, x0, x_sp, warm=None, u_prev=None, sigma0=None,
-                   con_par=None):
+                   con_par=None, u_init=None):
         """Single receding-horizon step (jitted); returns
         ``(u0, warm_state, sigmas, info)`` — for driving a real plant
-        externally while keeping the solve on device."""
+        externally while keeping the solve on device.
+
+        ``u_init`` ((Nu,) or (Nt, Nu)) seeds the COLD-start rollout — the
+        standalone analog of ``solve(u0=...)`` [SURVEY C6].  The default
+        zero-input rollout is a poor initializer at long horizons on
+        plants that drift somewhere nasty under u=0 (the four-tank drains
+        onto the sqrt-outflow clamp, where the covariance propagation's
+        linearization is 1/(2 sqrt(h))-stiff and overflows over hundreds
+        of stages): pass a plausible hold input there.  Ignored when
+        ``warm`` is given.
+        """
         x0 = jnp.asarray(x0, self.dtype)
         x_sp = self._ref_window(x_sp)
         if u_prev is None:
             u_prev = jnp.zeros(self.Nu, self.dtype)
         cold = warm is None
         if cold:
-            warm = self._init_warm(self._augment_x0(x0, u_prev), x_sp)
+            if u_init is not None:
+                u_init = jnp.asarray(u_init, self.dtype)
+                if u_init.ndim == 1:
+                    u_init = jnp.broadcast_to(u_init[None],
+                                              (self.Nt, self.Nu))
+            warm = self._init_warm(self._augment_x0(x0, u_prev), x_sp,
+                                   u_init=u_init)
         if sigma0 is None:
             sigma0 = jnp.zeros((self.Nx, self.Nx), self.dtype)
         if con_par is None:
