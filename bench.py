@@ -27,8 +27,14 @@ Solution-quality tie-ins:
     ratios carry ~±3% spread — the round-3 single-x0 gate was a coin
     flip against its own noise, see bench_four_tank's docstring and
     benchmarks/r4_gate.py for the measured panel/seed robustness);
-  * the car run must keep every state outside both obstacle ellipses
-    (``car_min_clearance`` >= 1.0 -> ``car_feasible``).
+  * the car run must keep every state outside both obstacle ellipses:
+    ``car_feasible`` gates ``car_min_clearance >= 0.995``.  Strictly
+    below 1.0 because an optimal dodge RIDES the constraint boundary,
+    and where the propagated covariance is ~0 the inflated ellipse
+    coincides with the raw one — boundary-riding epsilon is ~1e-3, so
+    0.995 admits it while a trajectory actually cutting the ellipse
+    (~0.1-0.9) still fails.  The same threshold, with the same
+    justification, is cited in README.md and RESULTS.md.
 
 Prints exactly ONE JSON line with all fields above.
 """
@@ -340,9 +346,12 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1,
     out["car_min_clearance"] = round(min_clear, 3)
     # epsilon below 1.0: an optimal dodge RIDES the constraint boundary,
     # and where the propagated covariance is ~0 the inflated ellipse
-    # coincides with the raw one — metric 1.0-1e-4 is boundary-riding
-    # (correct behavior), metric ~0.1 is driving through the obstacle
-    out["car_feasible"] = bool(min_clear >= 0.98)
+    # coincides with the raw one — metric 1.0-1e-3 is boundary-riding
+    # (correct behavior), metric ~0.1 is driving through the obstacle.
+    # 0.995 bounds the admitted epsilon at the boundary-riding scale; the
+    # round-4 gate briefly sat at 0.98, which would have admitted a
+    # trajectory cutting 2% inside the inflated ellipse (VERDICT r4).
+    out["car_feasible"] = bool(min_clear >= 0.995)
 
 
 def bench_study(model, gp, dtype, out):
