@@ -254,21 +254,11 @@ def bench_gp_predict(gp, dtype, out):
     out["gp_predict_us"] = round(float(np.median(slopes)), 3)
 
 
-def bench_car(dtype, out, solver_opts=None, cov_updates=1,
-              solve_precision=None):
-    """Config 4: car EM + hybrid + obstacle ellipses, N=20 — per-solve
-    latency via closed-loop K-slope + feasibility (clearance) flag.
-
-    Operating point al3 x mi15 (round-4 margin sweep, r4_car_margin.py):
-    clearance is a HARD gate (min over the trajectory — unlike the tank's
-    cost ratio it cannot be medianized), and the round-3 al2 x mi15 point
-    (clearance 0.993-0.996 that round) measured 0.918 in a round-4 session
-    with identical seeds — cross-session f32 fit drift moves the dodge
-    geometry.  Today's frontier: al2 fails at ANY inner budget tested
-    (mi15/20/25 -> 0.918/0.939/0.957); the THIRD AL multiplier round is
-    the lever (al3 x mi15 -> 0.997 at 4.3 ms, al3 x mi20 -> 0.995,
-    al2 x mi15 x cov2 -> 0.992 at 6.0 ms).  al3 x mi15 is feasible in
-    both rounds' sessions; ~4% of the 0.1 s control period."""
+def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None):
+    """Construct the config-4 car problem (EM + hybrid + obstacle
+    ellipses, N=20) exactly as the bench measures it; shared by
+    bench_car and the mechanism-screen harnesses
+    (benchmarks/r5_car_mechanism.py)."""
     from gpmpc_tpu.systems import car_ode, ellipse_obstacle_constraints
 
     dt = 0.1
@@ -315,6 +305,37 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1,
               solve_precision=solve_precision,
               dtype=dtype)
     con_par = obstacles.reshape(-1)
+    return mpc, x0, x_sp, con_par, obstacles, dt
+
+
+def car_min_clearance(xs, obstacles):
+    """Min over the trajectory of the raw ellipse metric (>= 1 is outside)."""
+    xs = np.asarray(xs)
+    min_clear = np.inf
+    for cx, cy, rx, ry in obstacles:
+        d = ((xs[:, 0] - cx) / rx) ** 2 + ((xs[:, 1] - cy) / ry) ** 2
+        min_clear = min(min_clear, float(d.min()))
+    return min_clear
+
+
+def bench_car(dtype, out, solver_opts=None, cov_updates=1,
+              solve_precision=None):
+    """Config 4: car EM + hybrid + obstacle ellipses, N=20 — per-solve
+    latency via closed-loop K-slope + feasibility (clearance) flag.
+
+    Operating point al3 x mi15 (round-4 margin sweep, r4_car_margin.py):
+    clearance is a HARD gate (min over the trajectory — unlike the tank's
+    cost ratio it cannot be medianized), and the round-3 al2 x mi15 point
+    (clearance 0.993-0.996 that round) measured 0.918 in a round-4 session
+    with identical seeds — cross-session f32 fit drift moves the dodge
+    geometry.  Today's frontier: al2 fails at ANY inner budget tested
+    (mi15/20/25 -> 0.918/0.939/0.957); the THIRD AL multiplier round is
+    the lever (al3 x mi15 -> 0.997 at 4.3 ms, al3 x mi20 -> 0.995,
+    al2 x mi15 x cov2 -> 0.992 at 6.0 ms).  al3 x mi15 is feasible in
+    both rounds' sessions; ~4% of the 0.1 s control period."""
+    mpc, x0, x_sp, con_par, obstacles, dt = build_car(
+        dtype, solver_opts=solver_opts, cov_updates=cov_updates,
+        solve_precision=solve_precision)
 
     def run(n_steps):
         return mpc.solve(x0, n_steps * dt, x_sp, noise=False,
@@ -336,11 +357,7 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1,
         t_small, _ = t(30)
         t_large, xs_long = t(130)
         slopes.append((t_large - t_small) / 100.0 * 1e3)
-    xs_long = np.asarray(xs_long)
-    min_clear = np.inf
-    for cx, cy, rx, ry in obstacles:
-        d = ((xs_long[:, 0] - cx) / rx) ** 2 + ((xs_long[:, 1] - cy) / ry) ** 2
-        min_clear = min(min_clear, float(d.min()))
+    min_clear = car_min_clearance(xs_long, obstacles)
     out["car_em_hybrid_ms"] = round(float(np.median(slopes)), 4)
     out["car_spread_ms"] = [round(float(s), 4) for s in sorted(slopes)]
     out["car_min_clearance"] = round(min_clear, 3)

@@ -17,7 +17,16 @@ Candidates (VERDICT r4 item 2):
   C. best mechanism at REDUCED inner budget (mi12/mi10/mi8) — the
      latency prize.
 
-Usage: python benchmarks/r5_car_mechanism.py --set A|B|C|final
+Two modes:
+  --screen : CPU f32 clearance-only pre-screen (one 130-step closed loop
+             per config, no timing) — runs while the TPU tunnel is down;
+             clearance on the pinned fixture is a deterministic function
+             of the solver config up to last-ulp backend differences, so
+             the screen predicts which configs are worth TPU time.
+  default  : full TPU bench rows (K-slope latency + clearance) via
+             bench.bench_car.
+
+Usage: python benchmarks/r5_car_mechanism.py --set A|B|C [--screen]
 """
 
 import argparse
@@ -27,6 +36,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 F = dict(fused_kkt=True)
@@ -57,19 +68,35 @@ SETS = {
         ("al2/mi10 BEST", dict(al_iters=2, max_iters=10, **F)),
         ("al2/mi8 BEST", dict(al_iters=2, max_iters=8, **F)),
     ],
-    "final": [],
 }
 
 
-def main(which, best_extra=None):
-    import bench as B
+def rows_for(which, best_extra=None):
     rows = SETS[which]
     if which == "C":
         extra = best_extra or {}
         rows = [(lbl.replace("BEST", "+".join(
             f"{k}={v:g}" for k, v in extra.items()) or "base"),
             {**opts, **extra}) for lbl, opts in rows]
-    for label, opts in rows:
+    return rows
+
+
+def screen(which, best_extra=None):
+    """CPU clearance-only pre-screen (no latency)."""
+    import bench as B
+    for label, opts in rows_for(which, best_extra):
+        mpc, x0, x_sp, con_par, obstacles, dt = B.build_car(
+            jnp.float32, solver_opts=opts, cov_updates=1)
+        xs, _ = mpc.solve(x0, 130 * dt, x_sp, noise=False,
+                          con_par_func=lambda k: con_par)
+        clear = B.car_min_clearance(xs, obstacles)
+        print(f"[car-screen] {label:28s} clear={clear:6.3f} "
+              f"feasible={clear >= 0.995}", flush=True)
+
+
+def main(which, best_extra=None):
+    import bench as B
+    for label, opts in rows_for(which, best_extra):
         out = {}
         try:
             B.bench_car(jnp.float32, out, solver_opts=opts, cov_updates=1)
@@ -85,6 +112,7 @@ def main(which, best_extra=None):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="A", choices=list(SETS))
+    ap.add_argument("--screen", action="store_true")
     ap.add_argument("--penalty-init", type=float, default=None)
     ap.add_argument("--penalty-mult", type=float, default=None)
     ap.add_argument("--merit-viol", type=float, default=None)
@@ -93,4 +121,8 @@ if __name__ == "__main__":
                                ("penalty_mult", a.penalty_mult),
                                ("merit_viol", a.merit_viol))
              if v is not None}
-    main(a.set, extra)
+    if a.screen:
+        jax.config.update("jax_platforms", "cpu")
+        screen(a.set, extra)
+    else:
+        main(a.set, extra)

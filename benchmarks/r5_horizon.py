@@ -14,7 +14,8 @@ u=0 cold rollout drains the tank onto the sqrt-outflow clamp where the
 covariance propagation overflows over hundreds of stages (round-5
 finding, see controller.solve_step docstring).
 
-Usage: python benchmarks/r5_horizon.py [--nts 20,50,...]
+Usage: python benchmarks/r5_horizon.py [--nts 20,50,...] [--cpu]
+(--cpu = smoke test only)
 """
 
 import argparse
@@ -92,4 +93,8 @@ def main(nts):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--nts", default="20,50,100,150,200,256,300")
-    main([int(s) for s in ap.parse_args().nts.split(",")])
+    ap.add_argument("--cpu", action="store_true")
+    a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    main([int(s) for s in a.nts.split(",")])
