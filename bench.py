@@ -300,7 +300,10 @@ def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None):
               percentile=0.95, feedback=True, op_x=x0,
               inequality_constraints=ineq_cb, num_con_par=n_par,
               cov_updates=cov_updates,
-              solver_opts=solver_opts or dict(al_iters=3, max_iters=15,
+              solver_opts=solver_opts or dict(al_iters=2, max_iters=12,
+                                              penalty_init=100.0,
+                                              penalty_mult=30.0,
+                                              merit_viol=10.0,
                                               fused_kkt=True),
               solve_precision=solve_precision,
               dtype=dtype)
@@ -323,16 +326,21 @@ def bench_car(dtype, out, solver_opts=None, cov_updates=1,
     """Config 4: car EM + hybrid + obstacle ellipses, N=20 — per-solve
     latency via closed-loop K-slope + feasibility (clearance) flag.
 
-    Operating point al3 x mi15 (round-4 margin sweep, r4_car_margin.py):
-    clearance is a HARD gate (min over the trajectory — unlike the tank's
-    cost ratio it cannot be medianized), and the round-3 al2 x mi15 point
-    (clearance 0.993-0.996 that round) measured 0.918 in a round-4 session
-    with identical seeds — cross-session f32 fit drift moves the dodge
-    geometry.  Today's frontier: al2 fails at ANY inner budget tested
-    (mi15/20/25 -> 0.918/0.939/0.957); the THIRD AL multiplier round is
-    the lever (al3 x mi15 -> 0.997 at 4.3 ms, al3 x mi20 -> 0.995,
-    al2 x mi15 x cov2 -> 0.992 at 6.0 ms).  al3 x mi15 is feasible in
-    both rounds' sessions; ~4% of the 0.1 s control period."""
+    Operating point al2 x mi12 with MECHANISM, not budget (round-5 study,
+    benchmarks/r5_car_mechanism.py + RESULTS.md "Round 5: car feasibility
+    by mechanism"): clearance is a HARD gate (min over the trajectory —
+    unlike the tank's cost ratio it cannot be medianized).  Round 4 bought
+    the margin with a third full AL round (al3 x mi15, 4.43 ms) because
+    al2 failed on that round's in-session fits; on the PINNED car fixture
+    two solver mechanisms buy it back at al2 with a 20%-smaller inner
+    budget: an aggressive obstacle-multiplier schedule (penalty_init=100,
+    penalty_mult=30 -> mu reaches 3e3 by the second AL round) plus a
+    static L1 exact-penalty on inequality violations in the line-search
+    merit (merit_viol=10).  Measured frontier on the pinned fixture:
+    al2/mi12 + both mechanisms -> clearance 1.001 at 2.65-2.74 ms
+    (three processes); either mechanism alone, or mi11 and below with
+    both, fails the 0.995 gate (see the RESULTS table for the negatives).
+    ~2.7% of the 0.1 s control period."""
     mpc, x0, x_sp, con_par, obstacles, dt = build_car(
         dtype, solver_opts=solver_opts, cov_updates=cov_updates,
         solve_precision=solve_precision)
