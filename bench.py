@@ -254,18 +254,25 @@ def bench_gp_predict(gp, dtype, out):
     out["gp_predict_us"] = round(float(np.median(slopes)), 3)
 
 
-def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None):
+def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None,
+              gp_seed=None):
     """Construct the config-4 car problem (EM + hybrid + obstacle
     ellipses, N=20) exactly as the bench measures it; shared by
     bench_car and the mechanism-screen harnesses
-    (benchmarks/r5_car_mechanism.py)."""
+    (benchmarks/r5_car_mechanism.py).
+
+    gp_seed: None (default) loads the pinned car fixture; an int bypasses
+    the fixture and retrains the residual GP from scratch with that seed
+    driving BOTH the training-data sample and the multistart draw — used
+    by benchmarks/r5_car_seeds.py to show the shipping operating point is
+    not fit to one model."""
     from gpmpc_tpu.systems import car_ode, ellipse_obstacle_constraints
 
     dt = 0.1
     model = Model(Nx=4, Nu=2, ode=lambda x, u: car_ode(x, u), dt=dt,
                   R=np.diag([1e-5, 1e-5, 1e-6, 1e-5]),
                   dtype=dtype, integrator_substeps=10)
-    key = jax.random.PRNGKey(4)
+    key = jax.random.PRNGKey(4 if gp_seed is None else gp_seed)
     kx, ku = jax.random.split(key)
     x_lb = np.array([-1.0, -1.0, -0.6, 0.0])
     x_ub = np.array([1.0, 1.0, 0.6, 8.0])
@@ -273,7 +280,8 @@ def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None):
     # GP config mirrors examples/car.py exactly — a starved fit (fewer
     # points/starts) was measured to mislead the EM+hybrid covariances
     # enough to cut through the obstacle field (r3_sweep history)
-    gp = _fixture_gp("car", dtype, gp_method="EM")
+    gp = None if gp_seed is not None else _fixture_gp(
+        "car", dtype, gp_method="EM")
     if gp is None:
         x_s = jax.random.uniform(kx, (80, 4), minval=x_lb, maxval=x_ub,
                                  dtype=dtype)
@@ -283,7 +291,7 @@ def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None):
                  - jax.vmap(model.rk4)(x_s, u_s))
         gp = GP(jnp.concatenate([x_s, u_s], axis=1), resid,
                 mean_func="zero", gp_method="EM", multistart=2,
-                max_iters=200, seed=3)
+                max_iters=200, seed=3 if gp_seed is None else gp_seed)
 
     obstacles = np.array([[6.0, 0.3, 1.5, 1.0],
                           [12.0, -0.6, 1.5, 1.2]])

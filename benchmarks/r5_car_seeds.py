@@ -1,0 +1,82 @@
+"""Round-5: car operating-point robustness across GP training seeds.
+
+The shipping car solver config (al2/mi12 + penalty_init=100/
+penalty_mult=30 + merit_viol=10; see bench.build_car) was SELECTED on the
+pinned car fixture (benchmarks/bench_fixture.npz).  Pinning removed
+session drift from the *benchmark*, but invites the same criticism
+VERDICT r4 made of the headline gate: is the mechanism-based feasibility
+margin a property of the solver, or of one particular model fit?
+
+This screen answers that by retraining the car residual GP from scratch
+at several seeds (each seed drives BOTH the 80-point training-data sample
+and the multistart hyper draw, via bench.build_car(gp_seed=)) and running
+the clearance-only 130-step closed loop under the shipping config.  Pass
+criterion is the bench gate: trajectory-min ellipse clearance >= 0.995.
+
+Clearance on a fixed model is deterministic up to last-ulp backend
+differences, so the CPU screen predicts the TPU gate; CPU is the default
+(pass --tpu to use the chip — the axon tunnel is single-client, so never
+concurrently with another TPU process).  Note the JAX_PLATFORMS env var
+is ignored in this image; platform must be set via jax.config.
+
+Usage: python benchmarks/r5_car_seeds.py [--seeds 0 1 2 3 4] [--steps 130]
+                                         [--config ship|mi15|r4]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# Named solver budgets for the cross-seed screen.  "ship" = bench.py's
+# shipping default (al2/mi12 + p100x30 + mv10, selected on the pinned
+# fixture); "mi15" = same mechanisms at the mi15 inner budget (the
+# fixture-measured robustness row, 3.17 ms on v5e); "r4" = round 4's
+# budget-only operating point (al3/mi15, default penalties, 4.43 ms).
+CONFIGS = {
+    "ship": None,
+    "mi15": dict(al_iters=2, max_iters=15, penalty_init=100.0,
+                 penalty_mult=30.0, merit_viol=10.0, fused_kkt=True),
+    "r4": dict(al_iters=3, max_iters=15, fused_kkt=True),
+}
+
+
+def main(seeds, steps, config):
+    import bench as B
+    clears = []
+    for s in seeds:
+        mpc, x0, x_sp, con_par, obstacles, dt = B.build_car(
+            jnp.float32, solver_opts=CONFIGS[config], cov_updates=1,
+            gp_seed=s)
+        xs, _ = mpc.solve(x0, steps * dt, x_sp, noise=False,
+                          con_par_func=lambda k: con_par)
+        clear = B.car_min_clearance(xs, obstacles)
+        clears.append(clear)
+        print(f"[car-seeds] config={config} seed={s:2d} clear={clear:6.3f} "
+              f"feasible={clear >= 0.995}", flush=True)
+    clears = np.asarray(clears)
+    print(f"[car-seeds] config={config} {len(seeds)} seeds: "
+          f"min={clears.min():.3f} median={np.median(clears):.3f} "
+          f"max={clears.max():.3f} "
+          f"all_feasible={bool((clears >= 0.995).all())}", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=[0, 1, 2, 3, 4])
+    ap.add_argument("--steps", type=int, default=130)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real chip (default: CPU)")
+    ap.add_argument("--config", default="ship", choices=list(CONFIGS))
+    a = ap.parse_args()
+    if not a.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    main(a.seeds, a.steps, a.config)
