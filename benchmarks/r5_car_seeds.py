@@ -20,7 +20,7 @@ concurrently with another TPU process).  Note the JAX_PLATFORMS env var
 is ignored in this image; platform must be set via jax.config.
 
 Usage: python benchmarks/r5_car_seeds.py [--seeds 0 1 2 3 4] [--steps 130]
-                                         [--config ship|mi15|r4]
+                                         [--config ship|mi15|r4|p99|al3|r4m]
 """
 
 import argparse
@@ -35,26 +35,44 @@ import jax
 import jax.numpy as jnp
 
 
-# Named solver budgets for the cross-seed screen.  "ship" = bench.py's
-# shipping default (al2/mi12 + p100x30 + mv10, selected on the pinned
-# fixture); "mi15" = same mechanisms at the mi15 inner budget (the
-# fixture-measured robustness row, 3.17 ms on v5e); "r4" = round 4's
-# budget-only operating point (al3/mi15, default penalties, 4.43 ms).
+# Named configs for the cross-seed screen: (solver_opts, percentile).
+# "ship" = bench.py's shipping default (al2/mi12 + p100x30 + mv10,
+# selected on the pinned fixture); "mi15" = same mechanisms at the mi15
+# inner budget (the fixture-measured robustness row, 3.17 ms on v5e);
+# "r4" = round 4's budget-only operating point (al3/mi15, default
+# penalties, 4.43 ms); "p99" = shipping budget with the chance level
+# raised to 0.99 — the control-theoretic robustness lever (more
+# covariance inflation on the obstacle tightening) as opposed to more
+# solver iterations.
 CONFIGS = {
-    "ship": None,
-    "mi15": dict(al_iters=2, max_iters=15, penalty_init=100.0,
+    "ship": (None, 0.95),
+    "mi15": (dict(al_iters=2, max_iters=15, penalty_init=100.0,
+                  penalty_mult=30.0, merit_viol=10.0, fused_kkt=True),
+             0.95),
+    "r4": (dict(al_iters=3, max_iters=15, fused_kkt=True), 0.95),
+    "p99": (None, 0.99),
+    # third AL round at the REDUCED mi12 budget, mechanisms kept — probes
+    # whether the seed-robustness r4 buys comes from the al3 multiplier
+    # refinement alone (making al3/mi12+mech the cheaper robust point).
+    "al3": (dict(al_iters=3, max_iters=12, penalty_init=100.0,
                  penalty_mult=30.0, merit_viol=10.0, fused_kkt=True),
-    "r4": dict(al_iters=3, max_iters=15, fused_kkt=True),
+            0.95),
+    # the full r4 budget WITH the round-5 mechanisms — distinguishes
+    # "mechanisms overfit the fixture" from "budget is simply necessary".
+    "r4m": (dict(al_iters=3, max_iters=15, penalty_init=100.0,
+                 penalty_mult=30.0, merit_viol=10.0, fused_kkt=True),
+            0.95),
 }
 
 
 def main(seeds, steps, config):
     import bench as B
+    opts, pct = CONFIGS[config]
     clears = []
     for s in seeds:
         mpc, x0, x_sp, con_par, obstacles, dt = B.build_car(
-            jnp.float32, solver_opts=CONFIGS[config], cov_updates=1,
-            gp_seed=s)
+            jnp.float32, solver_opts=opts, cov_updates=1,
+            gp_seed=s, percentile=pct)
         xs, _ = mpc.solve(x0, steps * dt, x_sp, noise=False,
                           con_par_func=lambda k: con_par)
         clear = B.car_min_clearance(xs, obstacles)
