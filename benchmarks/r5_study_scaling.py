@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(batches):
+def main(batches, chunk=None):
     import bench as B
     from gpmpc_tpu import Model
     from gpmpc_tpu.parallel.batched import BatchedStudy
@@ -52,7 +52,7 @@ def main(batches):
         Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
         ulb=[0.0, 0.0], uub=[8.0, 8.0], capacity=128,
         solver_opts=dict(al_iters=1, max_iters=3, ls_steps=4),
-        solve_precision="default")
+        solve_precision="default", chunk=chunk)
     x_sp = jnp.asarray([12.4, 12.7, 1.8, 1.4], dtype)
 
     rows = []
@@ -92,5 +92,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[256, 512, 1024, 2048, 4096])
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="BatchedStudy(chunk=): run B>chunk as lax.map "
+                         "over vmapped groups (the past-the-knee path)")
     a = ap.parse_args()
-    main(a.batches)
+    main(a.batches, a.chunk)

@@ -116,7 +116,8 @@ class BatchedStudy:
                  online_policy: str = "saturate",
                  solver_opts: Optional[dict] = None,
                  solve_precision: Optional[str] = None,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 chunk: Optional[int] = None):
         self.model = model
         self.dt = model.dt
         self.Nt = int(round(horizon / model.dt))
@@ -140,6 +141,19 @@ class BatchedStudy:
         self.sqp_cfg = SQPConfig(**(solver_opts or {"al_iters": 3,
                                                     "max_iters": 15}))
         self.mesh = mesh
+        # Single-chip batch chunking: past the measured single-chip knee
+        # (~B=1024 on v5e for the bench tank study — see RESULTS "Round 5:
+        # single-chip batched-study scaling curve") a wider vmap REGRESSES
+        # ~18% in throughput (one-time tiling regime change at 2x the knee).
+        # chunk=K runs a B>K batch as a lax.map over B/K vmapped groups, so
+        # every group executes at the peak per-chunk rate and solver
+        # intermediates for only one group are live at a time.  Per-rollout
+        # math is identical; results match the unchunked run.  Ignored under
+        # a mesh (shard the batch over devices instead — that is the lever
+        # past the knee).
+        if chunk is not None and int(chunk) < 1:
+            raise ValueError(f"chunk must be a positive int; got {chunk!r}")
+        self.chunk = None if chunk is None else int(chunk)
 
         # online conditioning is kernel-family agnostic (cross-kernel rows
         # + stationary diagonal only) — SE and Matérn both stream; a nonzero
@@ -242,11 +256,27 @@ class BatchedStudy:
     def _run(self, x0s, x_sp, noise_ws, post0, consts, n_steps,
              batched_post):
         roll = (lambda x0, w, p0: self._rollout(x0, x_sp, w, p0, consts))
+        b = x0s.shape[0]
         if batched_post:
-            xs, us, cost, objs, post = jax.vmap(roll)(x0s, noise_ws, post0)
+            args = (x0s, noise_ws, post0)
+            vroll = lambda t: jax.vmap(roll)(*t)
         else:
-            xs, us, cost, objs, post = jax.vmap(
-                lambda x0, w: roll(x0, w, post0))(x0s, noise_ws)
+            args = (x0s, noise_ws)
+            vroll = lambda t: jax.vmap(
+                lambda x0, w: roll(x0, w, post0))(*t)
+        chunk = self.chunk
+        if chunk is not None and self.mesh is None and b > chunk:
+            if b % chunk:
+                raise ValueError(
+                    f"batch size {b} is not divisible by chunk {chunk}")
+            g = b // chunk
+            args = jax.tree.map(
+                lambda a: a.reshape((g, chunk) + a.shape[1:]), args)
+            out = jax.lax.map(vroll, args)
+            xs, us, cost, objs, post = jax.tree.map(
+                lambda a: a.reshape((b,) + a.shape[2:]), out)
+        else:
+            xs, us, cost, objs, post = vroll(args)
         # batch-mean metric: under a dp-sharded batch this lowers to a psum
         # over the mesh (ICI collective)
         mean_cost = jnp.mean(cost)

@@ -103,7 +103,7 @@ def test_condition_novelty_gate_blocks_duplicates():
     assert float(jnp.abs(post.inv_k).max()) < 1e8
 
 
-def _tank_study(mesh=None, condition_online=True):
+def _tank_study(mesh=None, condition_online=True, chunk=None):
     model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=3.0,
                   R=np.diag([1e-3] * 4), clip_negative=True,
                   dtype=jnp.float64, integrator_substeps=5)
@@ -116,7 +116,7 @@ def _tank_study(mesh=None, condition_online=True):
         model, gp, horizon=3 * 3.0,
         Q=np.diag([10.0, 10.0, 0.1, 0.1]), R=0.01 * np.eye(2),
         ulb=[0.0, 0.0], uub=[8.0, 8.0], capacity=48,
-        condition_online=condition_online, mesh=mesh)
+        condition_online=condition_online, mesh=mesh, chunk=chunk)
 
 
 @pytest.mark.slow
@@ -130,6 +130,38 @@ def test_vmap_of_one_equals_unbatched():
                                np.asarray(r2.x_traj[0]), atol=1e-12)
     np.testing.assert_allclose(np.asarray(r2.x_traj[0]),
                                np.asarray(r2.x_traj[3]), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_chunked_study_matches_unchunked():
+    """chunk=K runs a B>K batch as lax.map over vmapped groups (the
+    single-chip past-the-knee path — RESULTS round-5 scaling curve); the
+    per-rollout math is identical, so results must match the plain vmap
+    (reassociation-level tolerance) and resume must stay batched."""
+    study_c = _tank_study(chunk=2)
+    study_p = _tank_study()
+    b = 6
+    x0s = np.tile(np.array([8.0, 9.0, 1.0, 1.0]), (b, 1))
+    x0s = np.clip(x0s + 0.2 * RNG.standard_normal((b, 4)), 1.0, None)
+    x_sp = np.array([12.4, 12.7, 1.8, 1.4])
+    r_c = study_c.run(x0s, x_sp, n_steps=3, noise=False)
+    r_p = study_p.run(x0s, x_sp, n_steps=3, noise=False)
+    np.testing.assert_allclose(np.asarray(r_c.x_traj),
+                               np.asarray(r_p.x_traj), atol=1e-5)
+    np.testing.assert_allclose(float(r_c.mean_cost), float(r_p.mean_cost),
+                               rtol=1e-6)
+    # chunked resume: the batched posterior reshapes through lax.map too
+    r_c2 = study_c.run(x0s, x_sp, n_steps=2, noise=False, init_post=r_c.post)
+    r_p2 = study_p.run(x0s, x_sp, n_steps=2, noise=False, init_post=r_p.post)
+    np.testing.assert_allclose(np.asarray(r_c2.x_traj),
+                               np.asarray(r_p2.x_traj), atol=1e-5)
+    # indivisible batch fails loudly at trace time
+    with pytest.raises(ValueError, match="divisible"):
+        study_c.run(x0s[:5], x_sp, n_steps=2, noise=False)
+    # B <= chunk short-circuits to the plain vmap
+    r_small = study_c.run(x0s[:2], x_sp, n_steps=3, noise=False)
+    np.testing.assert_allclose(np.asarray(r_small.x_traj),
+                               np.asarray(r_p.x_traj[:2]), atol=1e-5)
 
 
 @pytest.mark.slow
