@@ -86,6 +86,33 @@ def main(seeds, steps, config):
           f"all_feasible={bool((clears >= 0.995).all())}", flush=True)
 
 
+def validate_models(seeds):
+    """Held-out GP quality per seed — correlates the clearance failures
+    with model error (no MPC loop).  Test set: 200 fresh points in the
+    same state/input box build_car trains in, residual targets from the
+    same integrate-minus-rk4 truth."""
+    import bench as B
+    for s in seeds:
+        mpc = B.build_car(jnp.float32, cov_updates=1, gp_seed=s)[0]
+        model, gp = mpc.model, mpc.gp
+        kx, ku = jax.random.split(jax.random.PRNGKey(10_000 + s))
+        x_lb = np.array([-1.0, -1.0, -0.6, 0.0])
+        x_ub = np.array([1.0, 1.0, 0.6, 8.0])
+        u_lb, u_ub = np.array([-3.0, -0.5]), np.array([3.0, 0.5])
+        x_t = jax.random.uniform(kx, (200, 4), minval=x_lb, maxval=x_ub,
+                                 dtype=jnp.float32)
+        u_t = jax.random.uniform(ku, (200, 2), minval=u_lb, maxval=u_ub,
+                                 dtype=jnp.float32)
+        y_t = (jax.vmap(model.integrate)(x_t, u_t)
+               - jax.vmap(model.rk4)(x_t, u_t))
+        smse, mnlp, rmse = gp.validate(
+            jnp.concatenate([x_t, u_t], axis=1), y_t, verbose=False)
+        print(f"[car-seeds] validate seed={s:2d} "
+              f"smse_mean={float(np.mean(smse)):.4f} "
+              f"smse_max={float(np.max(smse)):.4f} "
+              f"mnlp_mean={float(np.mean(mnlp)):.2f}", flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+",
@@ -94,7 +121,13 @@ if __name__ == "__main__":
     ap.add_argument("--tpu", action="store_true",
                     help="run on the real chip (default: CPU)")
     ap.add_argument("--config", default="ship", choices=list(CONFIGS))
+    ap.add_argument("--validate", action="store_true",
+                    help="print held-out GP quality per seed instead of "
+                         "running the clearance loop")
     a = ap.parse_args()
     if not a.tpu:
         jax.config.update("jax_platforms", "cpu")
-    main(a.seeds, a.steps, a.config)
+    if a.validate:
+        validate_models(a.seeds)
+    else:
+        main(a.seeds, a.steps, a.config)
