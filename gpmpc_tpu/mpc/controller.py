@@ -51,7 +51,7 @@ from gpmpc_tpu.models.dynamics import Model
 from gpmpc_tpu.models.gp import GP, mean_fn_functional
 from gpmpc_tpu.models.propagate import get_propagator
 from gpmpc_tpu.solvers import al_sqp, riccati
-from gpmpc_tpu.utils.config import SQPConfig
+from gpmpc_tpu.utils.config import SQPConfig, resolve_solver_opts
 
 _BIG = 1e10
 
@@ -206,10 +206,11 @@ class MPC:
         # plus a separate cold-start budget for the first solve — standard
         # real-time-iteration practice: pay full convergence once, then
         # track with a few Gauss-Newton steps per control period
-        self.sqp_cfg = SQPConfig(**(solver_opts or {}))
-        self.init_sqp_cfg = (SQPConfig(**init_solver_opts)
-                             if init_solver_opts is not None
-                             else SQPConfig())
+        self.sqp_cfg = SQPConfig(
+            **resolve_solver_opts(solver_opts, dtype))
+        self.init_sqp_cfg = (
+            SQPConfig(**resolve_solver_opts(init_solver_opts, dtype))
+            if init_solver_opts is not None else SQPConfig())
         # Matmul-precision scope for the SOLVE program only.  The package
         # default is full-fidelity f32 matmuls (see gpmpc_tpu/__init__.py:
         # XLA's default single-bf16-pass matmul corrupted GP TRAINING on

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 
 from gpmpc_tpu.models.gp import GP, mean_fn_functional
 from gpmpc_tpu.solvers import al_sqp
-from gpmpc_tpu.utils.config import SQPConfig
+from gpmpc_tpu.utils.config import SQPConfig, resolve_solver_opts
 
 _BIG = 1e9
 
@@ -200,7 +200,7 @@ class MHE:
         self._gp_cfg = gp.cfg if gp is not None else None
 
         opts = dict(al_iters=3 if self._has_bounds else 1, max_iters=25)
-        opts.update(solver_opts or {})
+        opts.update(resolve_solver_opts(solver_opts, dtype))
         self.sqp_cfg = SQPConfig(**opts)
         if dtype == jnp.float64 and self.sqp_cfg.fused_kkt:
             raise ValueError("fused_kkt runs the KKT sweep in f32; "

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpmpc_tpu.parallel import online_gp
 from gpmpc_tpu.solvers import al_sqp
-from gpmpc_tpu.utils.config import SQPConfig
+from gpmpc_tpu.utils.config import SQPConfig, resolve_solver_opts
 
 
 class StudyConsts(NamedTuple):
@@ -138,8 +138,10 @@ class BatchedStudy:
                                else [-big] * self.Nu, dtype)
         self.uub = jnp.asarray(uub if uub is not None
                                else [big] * self.Nu, dtype)
-        self.sqp_cfg = SQPConfig(**(solver_opts or {"al_iters": 3,
-                                                    "max_iters": 15}))
+        self.sqp_cfg = SQPConfig(
+            **(resolve_solver_opts(solver_opts, dtype)
+               if solver_opts is not None
+               else {"al_iters": 3, "max_iters": 15}))
         self.mesh = mesh
         # Single-chip batch chunking: past the measured single-chip knee
         # (~B=1024 on v5e for the bench tank study — see RESULTS "Round 5:

@@ -107,6 +107,55 @@ class SQPConfig:
     #                                 precedence over parallel_kkt.
 
 
+# Named solver budgets — the measured operating points from the round-5
+# benchmark studies (benchmarks/RESULTS.md), accepted anywhere a
+# ``solver_opts`` dict is (MPC, MHE, BatchedStudy):
+#
+# * ``"rti"`` — real-time-iteration class latency: 2 AL rounds x 12 inner
+#   steps with the aggressive obstacle-multiplier schedule and the
+#   violation-aware line-search merit (2.65 ms/solve on the v5e car
+#   benchmark at clearance 1.001).  Fastest point that clears the pinned
+#   car benchmark; validate closed-loop quality on YOUR model before
+#   deploying (RESULTS "car feasibility by mechanism").
+# * ``"robust"`` — 3 AL rounds x 15 inner steps with the DEFAULT gentle
+#   penalty schedule: the only budget that cleared every from-scratch
+#   model refit in the cross-seed screen (5/5 at min clearance 0.996,
+#   4.43 ms on the car; RESULTS "car operating point across FRESH model
+#   fits").  Use this when the model is retrained/unvalidated.
+# * ``"converged"`` — the surface's own full-convergence defaults
+#   (al6 x mi30 for MPC).
+SOLVER_PRESETS = {
+    "rti": dict(al_iters=2, max_iters=12, penalty_init=100.0,
+                penalty_mult=30.0, merit_viol=10.0, fused_kkt=True),
+    "robust": dict(al_iters=3, max_iters=15, fused_kkt=True),
+    "converged": {},
+}
+
+
+def resolve_solver_opts(solver_opts, dtype=None) -> dict:
+    """Resolve ``solver_opts`` (None | dict | preset name) to a kwargs
+    dict for :class:`SQPConfig`.  Unknown preset names fail loudly.
+
+    A preset means "the best measured config for my setup", so with
+    ``dtype`` float64 a preset drops ``fused_kkt`` (the fused sweep runs
+    f32; the x64 parity path keeps its deterministic sequential Riccati).
+    An EXPLICIT ``fused_kkt=True`` in a user dict still errors loudly on
+    f64 downstream — only the named presets adapt."""
+    if solver_opts is None:
+        return {}
+    if isinstance(solver_opts, str):
+        if solver_opts not in SOLVER_PRESETS:
+            raise ValueError(
+                f"unknown solver preset {solver_opts!r}; available: "
+                f"{sorted(SOLVER_PRESETS)}")
+        opts = dict(SOLVER_PRESETS[solver_opts])
+        import numpy as _np
+        if dtype is not None and _np.dtype(dtype) == _np.float64:
+            opts.pop("fused_kkt", None)
+        return opts
+    return dict(solver_opts)
+
+
 @dataclasses.dataclass(frozen=True)
 class MPCOptions:
     """Static MPC options (the non-array part of ``MPC.__init__``).

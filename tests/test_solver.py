@@ -422,3 +422,54 @@ def test_merit_viol_consistent_and_default_off():
     # marginally different near-optimum (measured 2.6e-4 relative here)
     np.testing.assert_allclose(float(res_on.obj), float(res0.obj),
                                rtol=1e-3)
+
+
+def test_solver_presets_resolve_everywhere():
+    """Named solver budgets (utils.config.SOLVER_PRESETS) are the measured
+    round-5 operating points (RESULTS 'car feasibility by mechanism' /
+    'across FRESH model fits') and must be accepted anywhere a
+    solver_opts dict is."""
+    from gpmpc_tpu.utils.config import (SOLVER_PRESETS, SQPConfig,
+                                        resolve_solver_opts)
+
+    assert resolve_solver_opts(None) == {}
+    assert resolve_solver_opts({"al_iters": 9}) == {"al_iters": 9}
+    for name, want in SOLVER_PRESETS.items():
+        cfg = SQPConfig(**resolve_solver_opts(name))
+        for k, v in want.items():
+            assert getattr(cfg, k) == v, (name, k)
+    assert resolve_solver_opts("rti")["merit_viol"] == 10.0
+    assert resolve_solver_opts("robust") == {"al_iters": 3, "max_iters": 15,
+                                             "fused_kkt": True}
+    with pytest.raises(ValueError, match="unknown solver preset"):
+        resolve_solver_opts("fast")
+
+    # the string rides through each consumer's constructor
+    prob, a, b, q, r_cost, x_ref = _double_integrator_problem(umax=0.4)
+    del prob  # construction surfaces below build their own problems
+    import numpy as _np
+    from gpmpc_tpu import GP, Model, MPC
+    from gpmpc_tpu.parallel.batched import BatchedStudy
+    from gpmpc_tpu.systems import four_tank_ode
+
+    model = Model(Nx=4, Nu=2, ode=lambda x, u: four_tank_ode(x, u), dt=3.0,
+                  R=_np.diag([1e-3] * 4), dtype=jnp.float64)
+    X, Y = model.generate_training_data(
+        12, uub=[6.0, 6.0], ulb=[0.0, 0.0],
+        xub=[20.0, 20.0, 6.0, 6.0], xlb=[1.0, 1.0, 0.5, 0.5],
+        key=jax.random.PRNGKey(0))
+    gp = GP(X, Y, multistart=1, max_iters=25, seed=0)
+    mpc = MPC(horizon=9.0, model=model, gp=gp, solver_opts="robust",
+              ulb=[0.0, 0.0], uub=[8.0, 8.0])
+    assert mpc.sqp_cfg.al_iters == 3 and mpc.sqp_cfg.max_iters == 15
+    # f64 model: the preset adapts (drops the f32-only fused sweep) ...
+    assert not mpc.sqp_cfg.fused_kkt
+    study = BatchedStudy(model, gp, horizon=9.0, solver_opts="rti")
+    assert study.sqp_cfg.merit_viol == 10.0
+    assert study.sqp_cfg.penalty_mult == 30.0
+    assert not study.sqp_cfg.fused_kkt
+    # ... while an EXPLICIT fused_kkt=True dict keeps the loud f64 error
+    with pytest.raises(ValueError, match="fused_kkt"):
+        MPC(horizon=9.0, model=model, gp=gp,
+            solver_opts=dict(fused_kkt=True),
+            ulb=[0.0, 0.0], uub=[8.0, 8.0])
