@@ -254,6 +254,15 @@ def bench_gp_predict(gp, dtype, out):
     out["gp_predict_us"] = round(float(np.median(slopes)), 3)
 
 
+# car GP training box (state / input sample ranges) — shared with the
+# held-out validation sampler in benchmarks/r5_car_seeds.py so the
+# diagnostic always measures the region the models train and run in
+CAR_X_LB = np.array([-1.0, -1.0, -0.6, 0.0])
+CAR_X_UB = np.array([1.0, 1.0, 0.6, 8.0])
+CAR_U_LB = np.array([-3.0, -0.5])
+CAR_U_UB = np.array([3.0, 0.5])
+
+
 def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None,
               gp_seed=None, percentile=0.95):
     """Construct the config-4 car problem (EM + hybrid + obstacle
@@ -276,9 +285,8 @@ def build_car(dtype, solver_opts=None, cov_updates=1, solve_precision=None,
                   dtype=dtype, integrator_substeps=10)
     key = jax.random.PRNGKey(4 if gp_seed is None else gp_seed)
     kx, ku = jax.random.split(key)
-    x_lb = np.array([-1.0, -1.0, -0.6, 0.0])
-    x_ub = np.array([1.0, 1.0, 0.6, 8.0])
-    u_lb, u_ub = np.array([-3.0, -0.5]), np.array([3.0, 0.5])
+    x_lb, x_ub = CAR_X_LB, CAR_X_UB
+    u_lb, u_ub = CAR_U_LB, CAR_U_UB
     # GP config mirrors examples/car.py exactly — a starved fit (fewer
     # points/starts) was measured to mislead the EM+hybrid covariances
     # enough to cut through the obstacle field (r3_sweep history)

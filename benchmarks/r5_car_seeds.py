@@ -13,6 +13,14 @@ and the multistart hyper draw, via bench.build_car(gp_seed=)) and running
 the clearance-only 130-step closed loop under the shipping config.  Pass
 criterion is the bench gate: trajectory-min ellipse clearance >= 0.995.
 
+Caveat on the default seed list: gp_seed=4 draws the SAME training
+sample as the pinned fixture (both use PRNGKey(4)); only the multistart
+hyper draw differs (seed 4 vs the fixture's 3).  The measured outcome —
+seed 4 FAILS the shipping config at 0.982 where the fixture clears at
+1.001 — means the overlap does not bias the screen toward the
+fixture-tuned config; it is instead direct evidence that the hyper draw
+alone flips the near-boundary outcome.
+
 Clearance on a fixed model is deterministic up to last-ulp backend
 differences, so the CPU screen predicts the TPU gate; CPU is the default
 (pass --tpu to use the chip — the axon tunnel is single-client, so never
@@ -96,13 +104,10 @@ def validate_models(seeds):
         mpc = B.build_car(jnp.float32, cov_updates=1, gp_seed=s)[0]
         model, gp = mpc.model, mpc.gp
         kx, ku = jax.random.split(jax.random.PRNGKey(10_000 + s))
-        x_lb = np.array([-1.0, -1.0, -0.6, 0.0])
-        x_ub = np.array([1.0, 1.0, 0.6, 8.0])
-        u_lb, u_ub = np.array([-3.0, -0.5]), np.array([3.0, 0.5])
-        x_t = jax.random.uniform(kx, (200, 4), minval=x_lb, maxval=x_ub,
-                                 dtype=jnp.float32)
-        u_t = jax.random.uniform(ku, (200, 2), minval=u_lb, maxval=u_ub,
-                                 dtype=jnp.float32)
+        x_t = jax.random.uniform(kx, (200, 4), minval=B.CAR_X_LB,
+                                 maxval=B.CAR_X_UB, dtype=jnp.float32)
+        u_t = jax.random.uniform(ku, (200, 2), minval=B.CAR_U_LB,
+                                 maxval=B.CAR_U_UB, dtype=jnp.float32)
         y_t = (jax.vmap(model.integrate)(x_t, u_t)
                - jax.vmap(model.rk4)(x_t, u_t))
         smse, mnlp, rmse = gp.validate(

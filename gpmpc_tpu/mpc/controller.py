@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -144,8 +144,8 @@ class MPC:
                  hybrid_Bd=None,
                  inequality_constraints: Optional[Callable] = None,
                  num_con_par: int = 0,
-                 solver_opts: Optional[dict] = None,
-                 init_solver_opts: Optional[dict] = None,
+                 solver_opts: Optional[Union[str, dict]] = None,
+                 init_solver_opts: Optional[Union[str, dict]] = None,
                  u_sp=None,
                  op_x=None, op_u=None,
                  include_noise_cov: bool = True,

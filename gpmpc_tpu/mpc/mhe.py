@@ -44,7 +44,7 @@ Two arrival-cost policies:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional, Union
 
 import numpy as np
 import jax
@@ -143,7 +143,7 @@ class MHE:
                  discrete_method: str = "rk4",
                  hybrid_Bd=None,
                  arrival_update: bool = False,
-                 solver_opts: Optional[dict] = None):
+                 solver_opts: Optional[Union[str, dict]] = None):
         if window < 1:
             raise ValueError("window must be >= 1")
         if R_meas is None:

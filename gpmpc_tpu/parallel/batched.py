@@ -18,7 +18,7 @@ updates), so the 1024 GP posteriors diverge as the rollouts explore.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +114,7 @@ class BatchedStudy:
                  capacity: Optional[int] = None,
                  condition_online: bool = True,
                  online_policy: str = "saturate",
-                 solver_opts: Optional[dict] = None,
+                 solver_opts: Optional[Union[str, dict]] = None,
                  solve_precision: Optional[str] = None,
                  mesh: Optional[Mesh] = None,
                  chunk: Optional[int] = None):
@@ -138,10 +138,15 @@ class BatchedStudy:
                                else [-big] * self.Nu, dtype)
         self.uub = jnp.asarray(uub if uub is not None
                                else [big] * self.Nu, dtype)
-        self.sqp_cfg = SQPConfig(
-            **(resolve_solver_opts(solver_opts, dtype)
-               if solver_opts is not None
-               else {"al_iters": 3, "max_iters": 15}))
+        # named presets resolve through the shared table; a falsy dict/None
+        # keeps the study's own default budget (al3/mi15 — the historical
+        # `solver_opts or {...}` semantics), while the 'converged' preset
+        # explicitly selects SQPConfig()'s full-convergence defaults
+        if isinstance(solver_opts, str):
+            opts = resolve_solver_opts(solver_opts, dtype)
+        else:
+            opts = solver_opts or {"al_iters": 3, "max_iters": 15}
+        self.sqp_cfg = SQPConfig(**opts)
         self.mesh = mesh
         # Single-chip batch chunking: past the measured single-chip knee
         # (~B=1024 on v5e for the bench tank study — see RESULTS "Round 5:
@@ -153,7 +158,9 @@ class BatchedStudy:
         # math is identical; results match the unchunked run.  Ignored under
         # a mesh (shard the batch over devices instead — that is the lever
         # past the knee).
-        if chunk is not None and int(chunk) < 1:
+        if chunk is not None and (isinstance(chunk, bool)
+                                  or not isinstance(chunk, (int, np.integer))
+                                  or chunk < 1):
             raise ValueError(f"chunk must be a positive int; got {chunk!r}")
         self.chunk = None if chunk is None else int(chunk)
 

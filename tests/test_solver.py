@@ -445,8 +445,6 @@ def test_solver_presets_resolve_everywhere():
         resolve_solver_opts("fast")
 
     # the string rides through each consumer's constructor
-    prob, a, b, q, r_cost, x_ref = _double_integrator_problem(umax=0.4)
-    del prob  # construction surfaces below build their own problems
     import numpy as _np
     from gpmpc_tpu import GP, Model, MPC
     from gpmpc_tpu.parallel.batched import BatchedStudy
@@ -468,6 +466,16 @@ def test_solver_presets_resolve_everywhere():
     assert study.sqp_cfg.merit_viol == 10.0
     assert study.sqp_cfg.penalty_mult == 30.0
     assert not study.sqp_cfg.fused_kkt
+    # falsy dict keeps the study's own default budget (historical
+    # `solver_opts or {...}` semantics); 'converged' selects SQPConfig()
+    s_empty = BatchedStudy(model, gp, horizon=9.0, solver_opts={})
+    assert (s_empty.sqp_cfg.al_iters, s_empty.sqp_cfg.max_iters) == (3, 15)
+    s_conv = BatchedStudy(model, gp, horizon=9.0, solver_opts="converged")
+    assert (s_conv.sqp_cfg.al_iters, s_conv.sqp_cfg.max_iters) == (6, 30)
+    # chunk validation rejects bools and non-integral values loudly
+    for bad in (True, 1024.5, 0):
+        with pytest.raises(ValueError, match="chunk"):
+            BatchedStudy(model, gp, horizon=9.0, chunk=bad)
     # ... while an EXPLICIT fused_kkt=True dict keeps the loud f64 error
     with pytest.raises(ValueError, match="fused_kkt"):
         MPC(horizon=9.0, model=model, gp=gp,
