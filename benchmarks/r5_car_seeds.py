@@ -70,6 +70,19 @@ CONFIGS = {
     "r4m": (dict(al_iters=3, max_iters=15, penalty_init=100.0,
                  penalty_mult=30.0, merit_viol=10.0, fused_kkt=True),
             0.95),
+    # cheaper-robust candidates (session 3): al3 with the DEFAULT gentle
+    # penalty schedule at reduced inner budgets — the screen above showed
+    # the default schedule is what carries cross-seed robustness (the
+    # aggressive schedule collapses at al3) and that the third AL round's
+    # multiplier refinement is the other load-bearing piece; neither says
+    # mi15 itself is necessary.
+    "r4mi12": (dict(al_iters=3, max_iters=12, fused_kkt=True), 0.95),
+    "r4mi10": (dict(al_iters=3, max_iters=10, fused_kkt=True), 0.95),
+    "r4mi8": (dict(al_iters=3, max_iters=8, fused_kkt=True), 0.95),
+    # r4 budget + the violation-aware merit ALONE (no penalty schedule):
+    # decomposes which round-5 mechanism broke al3's robustness above.
+    "r4mv": (dict(al_iters=3, max_iters=15, merit_viol=10.0,
+                  fused_kkt=True), 0.95),
 }
 
 
